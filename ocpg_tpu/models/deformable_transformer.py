@@ -1,0 +1,342 @@
+"""Deformable transformer encoder/decoder (flax.linen).
+
+Reference: /root/reference/models/deformable_transformer.py.  4 encoder / 4
+decoder layers by default (`opts.py:50-53`); encoder layers are MSDeformAttn
+self-attention + FFN; decoder layers are MHSA self-attention + MSDeformAttn
+cross-attention + FFN with iterative box refinement
+(`deformable_transformer.py:377-388`).
+
+Differences by design (TPU-first):
+  * `spatial_shapes` is a static tuple — XLA unrolls the per-level loop and
+    compiles one program per resolution bucket (the reference carries shapes
+    as a device tensor).
+  * The box-refinement MLPs live inside the decoder and the decoder returns
+    both the detached per-layer references (as the reference stores them,
+    `:388`) and the gradient-carrying per-layer coordinate predictions, which
+    the reference recomputes at the top level (`ocpg.py:312-327`) with the
+    *shared* bbox_embed modules (`ocpg.py:163`).  Functionally identical
+    gradient flow, one fewer recomputation.
+  * two_stage is intentionally unsupported (asserted false in the reference,
+    `ocpg.py:65`).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.ms_deform_attn import ms_deform_attn
+from .layers import MLP, MultiheadAttention, inverse_sigmoid
+
+Array = jax.Array
+Shapes = Tuple[Tuple[int, int], ...]
+
+
+def _offset_bias_init(n_heads: int, n_levels: int, n_points: int):
+    """Directional grid init of sampling offsets (ops/modules/ms_deform_attn.py:64-72)."""
+    thetas = np.arange(n_heads, dtype=np.float32) * (2.0 * math.pi / n_heads)
+    grid = np.stack([np.cos(thetas), np.sin(thetas)], -1)
+    grid = grid / np.abs(grid).max(-1, keepdims=True)
+    grid = np.tile(grid.reshape(n_heads, 1, 1, 2), (1, n_levels, n_points, 1))
+    for i in range(n_points):
+        grid[:, :, i, :] *= i + 1
+    bias = grid.reshape(-1)
+
+    def init(key, shape, dtype=jnp.float32):
+        assert shape == bias.shape, (shape, bias.shape)
+        return jnp.asarray(bias, dtype)
+
+    return init
+
+
+class MSDeformAttnModule(nn.Module):
+    """Linear heads + core sampling op (ops/modules/ms_deform_attn.py:31-118)."""
+    d_model: int = 256
+    n_levels: int = 4
+    n_heads: int = 8
+    n_points: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query: Array,                 # (N, Lq, C)
+        reference_points: Array,      # (N, Lq, L, 2) or (N, Lq, L, 4), in [0,1]
+        input_flatten: Array,         # (N, S, C)
+        spatial_shapes: Shapes,
+        input_padding_mask: Optional[Array] = None,  # (N, S) bool True=pad
+    ) -> Tuple[Array, Array, Array]:
+        n, lq, _ = query.shape
+        m, l, p = self.n_heads, self.n_levels, self.n_points
+        d = self.d_model // m
+
+        value = nn.Dense(self.d_model, dtype=self.dtype, name="value_proj")(input_flatten)
+        if input_padding_mask is not None:
+            value = jnp.where(input_padding_mask[..., None], 0.0, value)
+        value = value.reshape(n, -1, m, d)
+
+        offsets = nn.Dense(
+            m * l * p * 2,
+            kernel_init=nn.initializers.zeros,
+            bias_init=_offset_bias_init(m, l, p),
+            dtype=jnp.float32,
+            name="sampling_offsets",
+        )(query).reshape(n, lq, m, l, p, 2)
+        attn = nn.Dense(
+            m * l * p,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=jnp.float32,
+            name="attention_weights",
+        )(query).reshape(n, lq, m, l * p)
+        attn = jax.nn.softmax(attn, axis=-1).reshape(n, lq, m, l, p)
+
+        ref = reference_points.astype(jnp.float32)
+        if reference_points.shape[-1] == 2:
+            normalizer = jnp.asarray(
+                [[w, h] for h, w in spatial_shapes], dtype=jnp.float32
+            )  # (L, 2) as (W, H)
+            locations = ref[:, :, None, :, None, :] + offsets / normalizer[None, None, None, :, None, :]
+        elif reference_points.shape[-1] == 4:
+            locations = (
+                ref[:, :, None, :, None, :2]
+                + offsets / p * ref[:, :, None, :, None, 2:] * 0.5
+            )
+        else:
+            raise ValueError(reference_points.shape)
+
+        # fp32 island around the sampling op (reference wraps it in
+        # autocast(enabled=False), deformable_transformer.py:250,329)
+        out = ms_deform_attn(value.astype(jnp.float32), spatial_shapes, locations, attn)
+        out = nn.Dense(self.d_model, dtype=self.dtype, name="output_proj")(out.astype(self.dtype))
+        return out, locations, attn
+
+
+class EncoderLayer(nn.Module):
+    d_model: int
+    d_ffn: int
+    n_levels: int
+    n_heads: int
+    n_points: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, src, pos, reference_points, spatial_shapes, padding_mask,
+                 *, deterministic: bool = True):
+        src2, _, _ = MSDeformAttnModule(
+            self.d_model, self.n_levels, self.n_heads, self.n_points,
+            dtype=self.dtype, name="self_attn",
+        )(src + pos, reference_points, src, spatial_shapes, padding_mask)
+        src = src + nn.Dropout(self.dropout)(src2, deterministic=deterministic)
+        src = nn.LayerNorm(dtype=self.dtype, name="norm1")(src)
+
+        ffn = nn.Dense(self.d_ffn, dtype=self.dtype, name="linear1")(src)
+        ffn = nn.Dropout(self.dropout)(jax.nn.relu(ffn), deterministic=deterministic)
+        ffn = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(ffn)
+        src = src + nn.Dropout(self.dropout)(ffn, deterministic=deterministic)
+        return nn.LayerNorm(dtype=self.dtype, name="norm2")(src)
+
+
+class DecoderLayer(nn.Module):
+    d_model: int
+    d_ffn: int
+    n_levels: int
+    n_heads: int
+    n_points: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgt, query_pos, reference_points, src, spatial_shapes,
+                 src_padding_mask, *, deterministic: bool = True):
+        q = tgt + query_pos
+        tgt2 = MultiheadAttention(self.n_heads, self.dropout, dtype=self.dtype,
+                                  name="self_attn")(q, q, tgt, deterministic=deterministic)
+        tgt = tgt + nn.Dropout(self.dropout)(tgt2, deterministic=deterministic)
+        tgt = nn.LayerNorm(dtype=self.dtype, name="norm2")(tgt)
+
+        tgt2, locations, attn = MSDeformAttnModule(
+            self.d_model, self.n_levels, self.n_heads, self.n_points,
+            dtype=self.dtype, name="cross_attn",
+        )(tgt + query_pos, reference_points, src, spatial_shapes, src_padding_mask)
+        tgt = tgt + nn.Dropout(self.dropout)(tgt2, deterministic=deterministic)
+        tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt)
+
+        ffn = nn.Dense(self.d_ffn, dtype=self.dtype, name="linear1")(tgt)
+        ffn = nn.Dropout(self.dropout)(jax.nn.relu(ffn), deterministic=deterministic)
+        ffn = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(ffn)
+        tgt = tgt + nn.Dropout(self.dropout)(ffn, deterministic=deterministic)
+        tgt = nn.LayerNorm(dtype=self.dtype, name="norm3")(tgt)
+        return tgt, locations, attn
+
+
+def encoder_reference_points(spatial_shapes: Shapes, valid_ratios: Array) -> Array:
+    """Per-pixel reference points (deformable_transformer.py:269-281).
+
+    valid_ratios: (N, L, 2) as (w_ratio, h_ratio).  Returns (N, S, L, 2).
+    """
+    points = []
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        ref_y = (jnp.arange(h, dtype=jnp.float32) + 0.5)[:, None]
+        ref_x = (jnp.arange(w, dtype=jnp.float32) + 0.5)[None, :]
+        ref_y = jnp.broadcast_to(ref_y, (h, w)).reshape(-1)[None]  # (1, HW)
+        ref_x = jnp.broadcast_to(ref_x, (h, w)).reshape(-1)[None]
+        ref_y = ref_y / (valid_ratios[:, None, lvl, 1] * h)
+        ref_x = ref_x / (valid_ratios[:, None, lvl, 0] * w)
+        points.append(jnp.stack((ref_x, ref_y), -1))  # (N, HW, 2)
+    ref = jnp.concatenate(points, axis=1)             # (N, S, 2)
+    return ref[:, :, None] * valid_ratios[:, None]    # (N, S, L, 2)
+
+
+def get_valid_ratio(mask: Array) -> Array:
+    """Non-padding ratio per (h, w) (deformable_transformer.py:125-132). mask True=pad."""
+    not_mask = ~mask
+    valid_h = jnp.sum(not_mask[:, :, 0], axis=1).astype(jnp.float32)
+    valid_w = jnp.sum(not_mask[:, 0, :], axis=1).astype(jnp.float32)
+    return jnp.stack([valid_w / mask.shape[2], valid_h / mask.shape[1]], axis=-1)
+
+
+class DeformableTransformer(nn.Module):
+    d_model: int = 256
+    nhead: int = 8
+    num_encoder_layers: int = 4
+    num_decoder_layers: int = 4
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+    num_feature_levels: int = 4
+    dec_n_points: int = 4
+    enc_n_points: int = 4
+    with_box_refine: bool = True
+    num_samples_kept: int = 30       # top-30 sampling-point tracking (:373)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        srcs: Sequence[Array],        # L x (N, Hl, Wl, C)   N = batch*time
+        tgt: Array,                   # (N, Q, C) query content (text embed)
+        masks: Sequence[Array],       # L x (N, Hl, Wl) bool True=pad
+        pos_embeds: Sequence[Array],  # L x (N, Hl, Wl, C)
+        query_embed: Array,           # (Q, C) learned positional queries
+        *,
+        deterministic: bool = True,
+    ):
+        assert len(srcs) == self.num_feature_levels
+        level_embed = self.param(
+            "level_embed", nn.initializers.normal(1.0),
+            (self.num_feature_levels, self.d_model),
+        )
+
+        spatial_shapes: Shapes = tuple((s.shape[1], s.shape[2]) for s in srcs)
+        src_flat = jnp.concatenate([s.reshape(s.shape[0], -1, s.shape[-1]) for s in srcs], axis=1)
+        mask_flat = jnp.concatenate([m.reshape(m.shape[0], -1) for m in masks], axis=1)
+        pos_flat = jnp.concatenate(
+            [
+                p.reshape(p.shape[0], -1, p.shape[-1]) + level_embed[i][None, None].astype(p.dtype)
+                for i, p in enumerate(pos_embeds)
+            ],
+            axis=1,
+        )
+        valid_ratios = jnp.stack([get_valid_ratio(m) for m in masks], axis=1)  # (N, L, 2)
+
+        # ---- encoder ----
+        output = src_flat
+        enc_ref = encoder_reference_points(spatial_shapes, valid_ratios)
+        for i in range(self.num_encoder_layers):
+            output = EncoderLayer(
+                self.d_model, self.dim_feedforward, self.num_feature_levels,
+                self.nhead, self.enc_n_points, self.dropout, dtype=self.dtype,
+                name=f"encoder_layer_{i}",
+            )(output, pos_flat, enc_ref, spatial_shapes, mask_flat,
+              deterministic=deterministic)
+        memory = output
+
+        # ---- decoder ----
+        n = memory.shape[0]
+        q = query_embed.shape[0]
+        query_pos = jnp.broadcast_to(query_embed[None], (n, q, query_embed.shape[1])).astype(self.dtype)
+        reference_points = jax.nn.sigmoid(
+            nn.Dense(2, dtype=jnp.float32, name="reference_points")(query_pos)
+        )
+        init_reference = reference_points
+
+        hs_layers = []
+        refs_layers = []          # detached per-layer references (as stored by :388,392)
+        coords_layers = []        # gradient-carrying per-layer coord predictions
+        samples_layers = []       # top-30 sampling points per layer
+        out_q = tgt
+
+        for i in range(self.num_decoder_layers):
+            if reference_points.shape[-1] == 4:
+                ref_input = reference_points[:, :, None] * jnp.concatenate(
+                    [valid_ratios, valid_ratios], -1)[:, None]
+            else:
+                ref_input = reference_points[:, :, None] * valid_ratios[:, None]
+
+            out_q, locations, attn = DecoderLayer(
+                self.d_model, self.dim_feedforward, self.num_feature_levels,
+                self.nhead, self.dec_n_points, self.dropout, dtype=self.dtype,
+                name=f"decoder_layer_{i}",
+            )(out_q, query_pos, ref_input, memory, spatial_shapes, mask_flat,
+              deterministic=deterministic)
+
+            # top-30 sampling-point tracking (deformable_transformer.py:368-375)
+            lq = locations.shape[1]
+            norm_locs = locations / valid_ratios[:, None, None, :, None, :]
+            w_flat = attn.reshape(n, lq, -1)
+            s_flat = norm_locs.reshape(n, lq, -1, 2)
+            top_w, top_idx = jax.lax.top_k(w_flat, self.num_samples_kept)
+            samples_keep = jnp.take_along_axis(
+                s_flat, top_idx[..., None].repeat(2, axis=-1), axis=2
+            )
+            samples_layers.append(samples_keep)
+
+            if self.with_box_refine:
+                tmp = MLP(self.d_model, 4, 3, dtype=jnp.float32, name=f"bbox_embed_{i}")(
+                    out_q.astype(jnp.float32)
+                )
+                if reference_points.shape[-1] == 4:
+                    new_ref = jax.nn.sigmoid(tmp + inverse_sigmoid(reference_points))
+                else:
+                    new_ref = jax.nn.sigmoid(
+                        tmp.at[..., :2].add(inverse_sigmoid(reference_points))
+                    )
+                coords_layers.append(new_ref)
+                reference_points = jax.lax.stop_gradient(new_ref)
+            else:
+                coords_layers.append(None)
+
+            hs_layers.append(out_q)
+            refs_layers.append(reference_points)
+
+        hs = jnp.stack(hs_layers)                       # (Ldec, N, Q, C)
+        inter_references = jnp.stack(refs_layers)        # (Ldec, N, Q, 2|4)
+        inter_samples = jnp.stack(samples_layers)        # (Ldec, N, Q, 30, 2)
+        inter_coords = (
+            jnp.stack(coords_layers) if self.with_box_refine else None
+        )
+
+        # per-level memory for the FPN-style mask path (:204-212); levels 0..L-2
+        memory_features = []
+        start = 0
+        for lvl in range(self.num_feature_levels - 1):
+            h, w = spatial_shapes[lvl]
+            memory_features.append(
+                jax.lax.dynamic_slice_in_dim(memory, start, h * w, axis=1).reshape(n, h, w, -1)
+            )
+            start += h * w
+
+        return {
+            "hs": hs,
+            "memory_features": memory_features,
+            "init_reference": init_reference,
+            "inter_references": inter_references,
+            "inter_coords": inter_coords,
+            "inter_samples": inter_samples,
+        }
