@@ -1,0 +1,77 @@
+"""Benchmark: clip frames/sec/chip, A2D-style eval forward (R101 OCPG).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline note: the reference repo publishes no numbers (README is two lines;
+see BASELINE.md).  `vs_baseline` is measured fps divided by ESTIMATED_A100_FPS,
+an estimate of the reference PyTorch pipeline's A2D R101 clip-inference
+throughput on one A100 (fp16 eager, batch 1, ~360x640, 5-frame clips).  The
+build target is vs_baseline >= 4.0 (BASELINE.md: ">=4x A100 clip throughput
+per v5e chip").
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+ESTIMATED_A100_FPS = 50.0  # estimated reference clip-frames/sec on one A100
+
+# bench shape: 5-frame clip at the reference's inference scale (Resize 360,
+# max_size 640 -> padded canvas 384x640, /32-aligned)
+FRAMES, HEIGHT, WIDTH = 5, 384, 640
+WARMUP, ITERS = 2, 8
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ocpg_tpu.config import a2d_r101_boxsup
+    from ocpg_tpu.models import build_model
+    from ocpg_tpu.data.synthetic import synthetic_batch
+
+    cfg = a2d_r101_boxsup().replace(compute_dtype="bfloat16")
+    model, *_ = build_model(cfg)
+    rng = np.random.default_rng(0)
+    batch = synthetic_batch(rng, batch=1, frames=FRAMES, height=HEIGHT, width=WIDTH)
+
+    args = (
+        jnp.asarray(batch["samples"]), jnp.asarray(batch["samples_mask"]),
+        jnp.asarray(batch["text_ids"]), jnp.asarray(batch["text_mask"]),
+        jnp.asarray(batch["targets"]["size"]),
+    )
+    params = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), *args,
+                           valid_indices=jnp.zeros((1,), jnp.int32), train=False)
+    )()
+
+    @jax.jit
+    def forward(params, samples, samples_mask, text_ids, text_mask, sizes, vi):
+        return model.apply(params, samples, samples_mask, text_ids, text_mask,
+                           sizes, valid_indices=vi, train=False)["pred_masks"]
+
+    vi = jnp.zeros((1,), jnp.int32)
+    for _ in range(WARMUP):
+        forward(params, *args, vi).block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        forward(params, *args, vi).block_until_ready()
+    dt = (time.perf_counter() - t0) / ITERS
+
+    fps = FRAMES / dt
+    print(json.dumps({
+        "metric": "clip_frames_per_sec_per_chip_a2d_r101",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / ESTIMATED_A100_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

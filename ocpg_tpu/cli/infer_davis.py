@@ -1,0 +1,147 @@
+"""Ref-DAVIS17 inference: per-annotator palette PNG masks.
+
+Reference: /root/reference/inference_davis.py.  The reference spawns one
+Python process per GPU (:97-109) and caps clips at 36 frames because of the
+CUDA im2col_step (:167,198-199).  Here a single program iterates videos (the
+device mesh can shard videos as batch), and the clip length is a memory knob
+only — XLA has no 36-frame cap.
+
+Flow per video (reference :164-271): expressions are interleaved over 4
+annotators (i = obj_id * 4 + anno_id); per object the model's best-query
+eval branch yields per-frame masks; per annotator the object masks are merged
+by argmax with a 0.1 background and a 0.3 floor, then saved as palette PNGs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+
+
+def get_args():
+    p = argparse.ArgumentParser("ocpg_tpu DAVIS inference")
+    p.add_argument("--davis_path", required=True)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--output_dir", default="output/davis")
+    p.add_argument("--backbone", default="resnet101")
+    p.add_argument("--split", default="valid")
+    p.add_argument("--clip_len", type=int, default=36)
+    p.add_argument("--resize", type=int, default=360)
+    p.add_argument("--max_size", type=int, default=640)
+    p.add_argument("--tokenizer_path", default=None)
+    return p.parse_args()
+
+
+def load_frames(img_folder: Path, video: str, frame_names, resize, max_size):
+    from PIL import Image
+
+    from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD, _target_size
+    import cv2
+
+    imgs = []
+    origin_size = None
+    for name in frame_names:
+        img = np.asarray(Image.open(img_folder / video / f"{name}.jpg").convert("RGB"))
+        if origin_size is None:
+            origin_size = img.shape[:2]
+        oh, ow = _target_size(img.shape[0], img.shape[1], resize, max_size)
+        img = cv2.resize(img, (ow, oh), interpolation=cv2.INTER_LINEAR)
+        imgs.append((img.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD)
+    return np.stack(imgs), origin_size
+
+
+def main():
+    args = get_args()
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from ..config import OCPGConfig
+    from ..models import build_model
+    from ..models.text_encoder import SimpleTokenizer
+    from ..ops.image import bilinear_resize
+
+    cfg = OCPGConfig(backbone=args.backbone, dataset_file="davis")
+    model, *_ = build_model(cfg)
+    tokenizer = SimpleTokenizer(args.tokenizer_path)
+
+    root = Path(args.davis_path)
+    meta_file = root / "meta_expressions" / args.split / "meta_expressions.json"
+    with open(meta_file) as f:
+        data = json.load(f)["videos"]
+    img_folder = root / args.split / "JPEGImages"
+    save_prefix = Path(args.output_dir) / f"{args.split}"
+
+    # palette from the first annotation PNG found
+    palette = None
+    ann_dir = root / args.split / "Annotations"
+    for png in sorted(ann_dir.rglob("*.png")):
+        palette = Image.open(png).getpalette()
+        break
+
+    params = None
+
+    @jax.jit
+    def forward(params, samples, samples_mask, ids, attn, sizes):
+        out = model.apply(params, samples, samples_mask, ids, attn, sizes, train=False)
+        return out["pred_masks"], out["pred_logits"]
+
+    for video, vdata in data.items():
+        frames = vdata["frames"]
+        expressions = vdata["expressions"]
+        exp_list = list(expressions.keys())
+        num_obj = len(exp_list) // 4
+
+        for anno_id in range(4):
+            anno_masks = []
+            for obj_id in range(num_obj):
+                exp = expressions[exp_list[obj_id * 4 + anno_id]]["exp"]
+                all_masks = []
+                for start in range(0, len(frames), args.clip_len):
+                    clip_names = frames[start:start + args.clip_len]
+                    imgs, origin_size = load_frames(img_folder, video, clip_names,
+                                                    args.resize, args.max_size)
+                    t, h, w = imgs.shape[:3]
+                    ids, attn = tokenizer([" ".join(exp.lower().split())])
+                    if params is None:
+                        params = model.init(
+                            jax.random.PRNGKey(0), jnp.asarray(imgs[None]),
+                            jnp.zeros((1, t, h, w), bool), jnp.asarray(ids),
+                            jnp.asarray(attn), jnp.asarray([[h, w]], jnp.int32),
+                            train=False)
+                        if args.checkpoint:
+                            from ..engine.checkpoint import load_params
+
+                            params = load_params(args.checkpoint, params)
+                    masks, logits = forward(
+                        params, jnp.asarray(imgs[None]), jnp.zeros((1, t, h, w), bool),
+                        jnp.asarray(ids), jnp.asarray(attn),
+                        jnp.asarray([[h, w]], jnp.int32))
+                    m = np.asarray(masks)[0, :, 0]          # (t, H, W) logits
+                    m = np.asarray(bilinear_resize(
+                        jnp.asarray(m[..., None]), tuple(origin_size),
+                        align_corners=False))[..., 0]
+                    all_masks.append(1.0 / (1.0 + np.exp(-m)))
+                anno_masks.append(np.concatenate(all_masks, axis=0))
+
+            anno = np.stack(anno_masks)                      # (num_obj, T, H, W)
+            anno[anno < 0.3] = 0.0
+            bg = np.full((1,) + anno.shape[1:], 0.1, anno.dtype)
+            merged = np.argmax(np.concatenate([bg, anno], axis=0), axis=0).astype(np.uint8)
+
+            out_dir = save_prefix / f"anno_{anno_id}" / video
+            out_dir.mkdir(parents=True, exist_ok=True)
+            for fi in range(merged.shape[0]):
+                img = Image.fromarray(merged[fi])
+                if palette is not None:
+                    img.putpalette(palette)
+                img.save(out_dir / f"{fi:05d}.png")
+        print(f"done {video}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

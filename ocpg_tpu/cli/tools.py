@@ -1,0 +1,120 @@
+"""Data conversion tools.
+
+Reference: /root/reference/tools/data/ —
+  * convert_refexp_to_coco.py: REFER pickles (refs(unc).p + instances.json)
+    -> COCO-format referring-detection JSONs, one annotation per (ref, sent),
+    image caption = sentence.
+  * convert_davis_to_ytvos.py: Ref-DAVIS17 release -> YTVOS-style layout
+    (JPEGImages/, Annotations/, meta_expressions.json) so the davis dataset
+    reader can use the ytvos code path.
+
+Usage:
+    python -m ocpg_tpu.cli.tools refexp2coco --refer_root /data/refer --dataset refcoco --output out/
+    python -m ocpg_tpu.cli.tools davis2ytvos --davis_root /data/ref-davis --output /data/ref-davis-ytvos
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pickle
+import shutil
+from pathlib import Path
+
+
+def refexp_to_coco(refer_root: str, dataset: str, split_by: str, output: str):
+    root = Path(refer_root) / dataset
+    with open(root / f"refs({split_by}).p", "rb") as f:
+        refs = pickle.load(f)
+    with open(root / "instances.json") as f:
+        instances = json.load(f)
+    anns_by_id = {a["id"]: a for a in instances["annotations"]}
+    imgs_by_id = {im["id"]: im for im in instances["images"]}
+
+    out_dir = Path(output)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for split in ("train", "val", "testA", "testB", "test"):
+        split_refs = [r for r in refs if r["split"] == split]
+        if not split_refs:
+            continue
+        images, annotations = [], []
+        next_img_id = 0
+        for r in split_refs:
+            ann = anns_by_id[r["ann_id"]]
+            im = imgs_by_id[r["image_id"]]
+            for sent in r["sentences"]:
+                images.append({
+                    "id": next_img_id,
+                    "file_name": im["file_name"],
+                    "height": im["height"], "width": im["width"],
+                    "caption": sent["sent"],
+                    "original_id": im["id"],
+                })
+                annotations.append({
+                    "id": len(annotations),
+                    "image_id": next_img_id,
+                    "bbox": ann["bbox"],
+                    "segmentation": ann.get("segmentation", []),
+                    "area": ann.get("area", ann["bbox"][2] * ann["bbox"][3]),
+                    "iscrowd": ann.get("iscrowd", 0),
+                    "category_id": ann["category_id"],
+                })
+                next_img_id += 1
+        out = {"images": images, "annotations": annotations,
+               "categories": instances.get("categories", [])}
+        path = out_dir / f"instances_{dataset}_{split}.json"
+        with open(path, "w") as f:
+            json.dump(out, f)
+        print(f"wrote {path} ({len(images)} image-sentence pairs)")
+
+
+def davis_to_ytvos(davis_root: str, output: str):
+    root = Path(davis_root)
+    out = Path(output)
+    for split in ("train", "valid"):
+        set_name = {"train": "train", "valid": "val"}[split]
+        split_file = root / "ImageSets" / "2017" / f"{set_name}.txt"
+        if not split_file.exists():
+            continue
+        videos = [l.strip() for l in open(split_file) if l.strip()]
+        (out / split).mkdir(parents=True, exist_ok=True)
+        for sub in ("JPEGImages", "Annotations"):
+            src_base = root / sub / "480p" if (root / sub / "480p").exists() else root / sub
+            for v in videos:
+                dst = out / split / sub / v
+                if not dst.exists() and (src_base / v).exists():
+                    dst.parent.mkdir(parents=True, exist_ok=True)
+                    shutil.copytree(src_base / v, dst)
+        # merge the 4 annotators' expression files into one meta_expressions.json
+        meta = {"videos": {}}
+        davis_meta = root / "meta_expressions" / split / "meta_expressions.json"
+        if davis_meta.exists():
+            with open(davis_meta) as f:
+                meta = json.load(f)
+        out_meta = out / "meta_expressions" / split
+        out_meta.mkdir(parents=True, exist_ok=True)
+        with open(out_meta / "meta_expressions.json", "w") as f:
+            json.dump(meta, f)
+        print(f"{split}: {len(videos)} videos")
+
+
+def main():
+    p = argparse.ArgumentParser("ocpg_tpu data tools")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    p1 = sub.add_parser("refexp2coco")
+    p1.add_argument("--refer_root", required=True)
+    p1.add_argument("--dataset", default="refcoco", choices=["refcoco", "refcoco+", "refcocog"])
+    p1.add_argument("--split_by", default="unc")
+    p1.add_argument("--output", required=True)
+    p2 = sub.add_parser("davis2ytvos")
+    p2.add_argument("--davis_root", required=True)
+    p2.add_argument("--output", required=True)
+    args = p.parse_args()
+    if args.cmd == "refexp2coco":
+        refexp_to_coco(args.refer_root, args.dataset, args.split_by, args.output)
+    else:
+        davis_to_ytvos(args.davis_root, args.output)
+
+
+if __name__ == "__main__":
+    main()

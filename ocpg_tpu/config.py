@@ -17,6 +17,12 @@ class OCPGConfig:
     # * Backbone (opts.py:33-47)
     backbone: str = "resnet50"  # resnet50 | resnet101 | video_swin_{t,s,b}_p4w7 | swin_{t,s,b,l}_p4w7
     text_backbone: str = "roberta-base"
+    # text encoder dims (roberta-base defaults; override for tiny test configs)
+    text_layers: int = 12
+    text_hidden: int = 768
+    text_heads: int = 12
+    text_ffn: int = 3072
+    text_vocab: int = 50265
     dilation: bool = False
     num_feature_levels: int = 4
     freeze_text_encoder: bool = True

@@ -1,0 +1,115 @@
+"""Host data loader: transform, pad to static canvas, batch, prefetch.
+
+Replaces the reference's torch DataLoader + collate_fn
+(`util/misc.py:299-306`, NestedTensor padding `util/misc.py:354-379`) with a
+thread-pool loader that emits fixed-shape numpy batches (one canvas per
+resolution bucket -> one XLA compile) and double-buffers host->device
+transfers.
+"""
+
+from __future__ import annotations
+
+import random
+import threading
+import queue as queue_mod
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+from .transforms import Clip, pad_to_canvas, train_transform, val_transform, canvas_for
+from ..models.text_encoder import SimpleTokenizer
+
+
+class ClipLoader:
+    """Iterates (epoch-seeded, optionally sharded) batches of fixed shape."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        tokenizer: Optional[SimpleTokenizer] = None,
+        canvas: Optional[Tuple[int, int]] = None,
+        train: bool = True,
+        seed: int = 42,
+        shard_index: int = 0,
+        shard_count: int = 1,
+        num_workers: int = 4,
+        max_text_len: int = 32,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.canvas = canvas or canvas_for()
+        self.train = train
+        self.seed = seed
+        self.shard_index = shard_index
+        self.shard_count = shard_count
+        self.num_workers = num_workers
+        self.tokenizer = tokenizer or SimpleTokenizer(max_len=max_text_len)
+
+    def _load_one(self, idx: int, rng: random.Random) -> Dict[str, np.ndarray]:
+        # retry-until-valid (ytvos.py:242-246)
+        for _ in range(20):
+            rec = self.dataset.get_clip(idx, rng)
+            clip = rec.clip
+            clip = train_transform(clip) if self.train else val_transform(clip)
+            if clip.valid.any() or not self.train:
+                entry = pad_to_canvas(clip, self.canvas)
+                if rec.valid_indices is not None:
+                    entry["valid_indices"] = np.asarray(rec.valid_indices, np.int32)
+                return entry
+            idx = rng.randrange(len(self.dataset))
+        raise RuntimeError("no valid sample found after 20 retries")
+
+    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        """Epoch-seeded shuffled shard iteration (datasets/samplers.py:16-72)."""
+        rng = random.Random(self.seed + epoch)
+        order = list(range(len(self.dataset)))
+        if self.train:
+            rng.shuffle(order)
+        order = order[self.shard_index::self.shard_count]
+        # drop remainder for static batch shapes
+        n_batches = len(order) // self.batch_size
+        q: "queue_mod.Queue" = queue_mod.Queue(maxsize=self.num_workers * 2)
+        stop = threading.Event()
+
+        def worker(worker_id: int):
+            wrng = random.Random(self.seed * 1000 + epoch * 17 + worker_id)
+            for bi in range(worker_id, n_batches, self.num_workers):
+                if stop.is_set():
+                    return
+                idxs = order[bi * self.batch_size:(bi + 1) * self.batch_size]
+                entries = [self._load_one(i, wrng) for i in idxs]
+                q.put((bi, self._collate(entries)))
+            q.put((None, None))
+
+        threads = [threading.Thread(target=worker, args=(w,), daemon=True)
+                   for w in range(self.num_workers)]
+        for th in threads:
+            th.start()
+        finished = 0
+        try:
+            while finished < self.num_workers:
+                bi, batch = q.get()
+                if bi is None:
+                    finished += 1
+                    continue
+                yield batch
+        finally:
+            stop.set()
+
+    def _collate(self, entries) -> Dict[str, np.ndarray]:
+        captions = [e["caption"] for e in entries]
+        ids, attn = self.tokenizer(captions)
+        batch = {
+            "samples": np.stack([e["samples"] for e in entries]),
+            "samples_mask": np.stack([e["samples_mask"] for e in entries]),
+            "text_ids": ids,
+            "text_mask": attn,
+            "targets": {
+                k: np.stack([e["targets"][k] for e in entries])
+                for k in entries[0]["targets"]
+            },
+        }
+        if "valid_indices" in entries[0]:
+            batch["valid_indices"] = np.stack([e["valid_indices"] for e in entries])
+        return batch

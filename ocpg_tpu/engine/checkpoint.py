@@ -1,0 +1,77 @@
+"""Orbax checkpointing of the full training state.
+
+Reference: /root/reference/main.py:227-239 — per-epoch `{model, optimizer,
+lr_scheduler, epoch, args, grad_scaler}` + rolling `checkpoint.pth`, rank-0
+writes only.  TPU equivalent: async Orbax checkpointing of the TrainState
+pytree (params + opt_state + step); single-writer semantics come free from
+the single-program model.  Finetune-style partial restore (strict=False minus
+class heads, main.py:141-147) is `restore_params_into`.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        self.mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
+        )
+
+    def save(self, step: int, state: Any, metadata: Optional[dict] = None):
+        self.mgr.save(step, args=ocp.args.StandardSave(state))
+        self.mgr.wait_until_finished()
+
+    def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
+        step = step if step is not None else self.mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        return self.mgr.restore(step, args=ocp.args.StandardRestore(state_template))
+
+    def latest_step(self) -> Optional[int]:
+        return self.mgr.latest_step()
+
+
+def load_params(checkpoint_dir: str, params_template: dict) -> dict:
+    """Restore just the model variables (params + frozen collections) from a
+    TrainState checkpoint directory, for inference."""
+    mgr = ocp.CheckpointManager(os.path.abspath(checkpoint_dir))
+    step = mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint in {checkpoint_dir}")
+    restored = mgr.restore(step, args=ocp.args.StandardRestore())
+    src = restored["params"] if isinstance(restored, dict) and "params" in restored else restored
+    return restore_params_into(params_template, src, drop_prefixes=())
+
+
+def restore_params_into(target_params: dict, source_params: dict,
+                        drop_prefixes: tuple = ("class_embed",)) -> dict:
+    """strict=False merge: copy matching-shape leaves from source, keep target
+    elsewhere; drop class heads for finetuning (utils.py:5-13)."""
+
+    def merge(tgt, src, path=""):
+        if isinstance(tgt, dict):
+            out = {}
+            for k, v in tgt.items():
+                p = f"{path}/{k}" if path else str(k)
+                if any(p.startswith(d) or k.startswith(d) for d in drop_prefixes):
+                    out[k] = v
+                elif isinstance(src, dict) and k in src:
+                    out[k] = merge(v, src[k], p)
+                else:
+                    out[k] = v
+            return out
+        src_arr = np.asarray(src)
+        if hasattr(tgt, "shape") and tuple(tgt.shape) == tuple(src_arr.shape):
+            return src_arr.astype(np.asarray(tgt).dtype)
+        return tgt
+
+    return merge(target_params, source_params)

@@ -96,6 +96,6 @@ class ResNet(nn.Module):
         return tuple(outs)
 
 
-def build_resnet(name: str, dilation: bool, dtype=jnp.float32) -> ResNet:
-    layers = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3)}[name]
-    return ResNet(layers=layers, dilation=dilation, dtype=dtype)
+def build_resnet(arch: str, dilation: bool, dtype=jnp.float32, name: str | None = None) -> ResNet:
+    layers = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3)}[arch]
+    return ResNet(layers=layers, dilation=dilation, dtype=dtype, name=name)

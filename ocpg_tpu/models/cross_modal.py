@@ -50,7 +50,11 @@ class LFM(nn.Module):
         x = x.astype(jnp.float32)
 
         # scalar coefficient: 3x3 VALID conv -> GAP -> MLP -> sigmoid
-        coef = nn.Conv(c, (3, 3), padding="VALID", name="laplace")(x)
+        # (reference uses padding=0, modules.py:16; for feature maps smaller
+        #  than the kernel — which the reference never feeds — fall back to
+        #  SAME so the GAP is over a non-empty map)
+        pad = "VALID" if (h >= 3 and w >= 3) else "SAME"
+        coef = nn.Conv(c, (3, 3), padding=pad, name="laplace")(x)
         coef = coef.mean(axis=(1, 2))  # (b, c)
         coef = nn.Dense(c, use_bias=False, name="fc1")(coef)
         coef = jax.nn.relu(coef)

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..ops.ms_deform_attn import ms_deform_attn
-from .layers import MLP, MultiheadAttention, inverse_sigmoid
+from .layers import MLP, MultiheadAttention, inverse_sigmoid, xavier_uniform
 
 Array = jax.Array
 Shapes = Tuple[Tuple[int, int], ...]
@@ -75,7 +75,7 @@ class MSDeformAttnModule(nn.Module):
         m, l, p = self.n_heads, self.n_levels, self.n_points
         d = self.d_model // m
 
-        value = nn.Dense(self.d_model, dtype=self.dtype, name="value_proj")(input_flatten)
+        value = nn.Dense(self.d_model, dtype=self.dtype, kernel_init=xavier_uniform, name="value_proj")(input_flatten)
         if input_padding_mask is not None:
             value = jnp.where(input_padding_mask[..., None], 0.0, value)
         value = value.reshape(n, -1, m, d)
@@ -113,7 +113,7 @@ class MSDeformAttnModule(nn.Module):
         # fp32 island around the sampling op (reference wraps it in
         # autocast(enabled=False), deformable_transformer.py:250,329)
         out = ms_deform_attn(value.astype(jnp.float32), spatial_shapes, locations, attn)
-        out = nn.Dense(self.d_model, dtype=self.dtype, name="output_proj")(out.astype(self.dtype))
+        out = nn.Dense(self.d_model, dtype=self.dtype, kernel_init=xavier_uniform, name="output_proj")(out.astype(self.dtype))
         return out, locations, attn
 
 
@@ -136,9 +136,9 @@ class EncoderLayer(nn.Module):
         src = src + nn.Dropout(self.dropout)(src2, deterministic=deterministic)
         src = nn.LayerNorm(dtype=self.dtype, name="norm1")(src)
 
-        ffn = nn.Dense(self.d_ffn, dtype=self.dtype, name="linear1")(src)
+        ffn = nn.Dense(self.d_ffn, dtype=self.dtype, kernel_init=xavier_uniform, name="linear1")(src)
         ffn = nn.Dropout(self.dropout)(jax.nn.relu(ffn), deterministic=deterministic)
-        ffn = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(ffn)
+        ffn = nn.Dense(self.d_model, dtype=self.dtype, kernel_init=xavier_uniform, name="linear2")(ffn)
         src = src + nn.Dropout(self.dropout)(ffn, deterministic=deterministic)
         return nn.LayerNorm(dtype=self.dtype, name="norm2")(src)
 
@@ -168,9 +168,9 @@ class DecoderLayer(nn.Module):
         tgt = tgt + nn.Dropout(self.dropout)(tgt2, deterministic=deterministic)
         tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt)
 
-        ffn = nn.Dense(self.d_ffn, dtype=self.dtype, name="linear1")(tgt)
+        ffn = nn.Dense(self.d_ffn, dtype=self.dtype, kernel_init=xavier_uniform, name="linear1")(tgt)
         ffn = nn.Dropout(self.dropout)(jax.nn.relu(ffn), deterministic=deterministic)
-        ffn = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(ffn)
+        ffn = nn.Dense(self.d_model, dtype=self.dtype, kernel_init=xavier_uniform, name="linear2")(ffn)
         tgt = tgt + nn.Dropout(self.dropout)(ffn, deterministic=deterministic)
         tgt = nn.LayerNorm(dtype=self.dtype, name="norm3")(tgt)
         return tgt, locations, attn
@@ -262,7 +262,7 @@ class DeformableTransformer(nn.Module):
         q = query_embed.shape[0]
         query_pos = jnp.broadcast_to(query_embed[None], (n, q, query_embed.shape[1])).astype(self.dtype)
         reference_points = jax.nn.sigmoid(
-            nn.Dense(2, dtype=jnp.float32, name="reference_points")(query_pos)
+            nn.Dense(2, dtype=jnp.float32, kernel_init=xavier_uniform, name="reference_points")(query_pos)
         )
         init_reference = reference_points
 
@@ -298,9 +298,15 @@ class DeformableTransformer(nn.Module):
             samples_layers.append(samples_keep)
 
             if self.with_box_refine:
-                tmp = MLP(self.d_model, 4, 3, dtype=jnp.float32, name=f"bbox_embed_{i}")(
-                    out_q.astype(jnp.float32)
-                )
+                bias0 = np.zeros(4, np.float32)
+                if i == 0:
+                    bias0[2:] = -2.0  # ocpg.py:161
+                tmp = MLP(
+                    self.d_model, 4, 3, dtype=jnp.float32,
+                    final_kernel_init=nn.initializers.zeros,
+                    final_bias_init=lambda key, shape, dtype=jnp.float32, _b=bias0: jnp.asarray(_b, dtype),
+                    name=f"bbox_embed_{i}",
+                )(out_q.astype(jnp.float32))
                 if reference_points.shape[-1] == 4:
                     new_ref = jax.nn.sigmoid(tmp + inverse_sigmoid(reference_points))
                 else:

@@ -19,6 +19,10 @@ import flax.linen as nn
 
 Array = jax.Array
 
+# torch xavier_uniform, the init used across the reference transformer
+# (`deformable_transformer.py:65-75`)
+xavier_uniform = nn.initializers.xavier_uniform()
+
 
 class MLP(nn.Module):
     """ReLU MLP; final layer linear (ocpg.py:613-625)."""
@@ -26,13 +30,20 @@ class MLP(nn.Module):
     output_dim: int
     num_layers: int
     dtype: jnp.dtype = jnp.float32
+    kernel_init: Callable = xavier_uniform
+    final_kernel_init: Optional[Callable] = None
+    final_bias_init: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         for i in range(self.num_layers):
-            dim = self.output_dim if i == self.num_layers - 1 else self.hidden_dim
-            x = nn.Dense(dim, dtype=self.dtype, name=f"layers_{i}")(x)
-            if i < self.num_layers - 1:
+            last = i == self.num_layers - 1
+            dim = self.output_dim if last else self.hidden_dim
+            kinit = self.final_kernel_init if (last and self.final_kernel_init) else self.kernel_init
+            binit = self.final_bias_init if (last and self.final_bias_init) else nn.initializers.zeros
+            x = nn.Dense(dim, dtype=self.dtype, kernel_init=kinit, bias_init=binit,
+                         name=f"layers_{i}")(x)
+            if not last:
                 x = jax.nn.relu(x)
         return x
 
@@ -96,9 +107,9 @@ class MultiheadAttention(nn.Module):
         c = query.shape[-1]
         h = self.num_heads
         dh = c // h
-        q = nn.Dense(c, dtype=self.dtype, name="q_proj")(query)
-        k = nn.Dense(c, dtype=self.dtype, name="k_proj")(key)
-        v = nn.Dense(c, dtype=self.dtype, name="v_proj")(value)
+        q = nn.Dense(c, dtype=self.dtype, kernel_init=xavier_uniform, name="q_proj")(query)
+        k = nn.Dense(c, dtype=self.dtype, kernel_init=xavier_uniform, name="k_proj")(key)
+        v = nn.Dense(c, dtype=self.dtype, kernel_init=xavier_uniform, name="v_proj")(value)
 
         def split(x):
             b, l, _ = x.shape
@@ -113,7 +124,7 @@ class MultiheadAttention(nn.Module):
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(query.shape[0], query.shape[1], c)
-        return nn.Dense(c, dtype=self.dtype, name="out_proj")(out)
+        return nn.Dense(c, dtype=self.dtype, kernel_init=xavier_uniform, name="out_proj")(out)
 
 
 def inverse_sigmoid(x: Array, eps: float = 1e-5) -> Array:

@@ -62,8 +62,11 @@ def apply_dynamic_conv(
     bias_nums: Sequence[int],
 ) -> Array:                # (I, H, W, channels) patch logits
     """Per-instance 1x1 conv stack as batched einsums (ocpg.py:531-569)."""
+    import numpy as np
+
     num_layers = len(weight_nums)
-    splits = list(jnp.split(params, list(jnp.cumsum(jnp.asarray(weight_nums + bias_nums)))[:-1], axis=1))
+    boundaries = np.cumsum(list(weight_nums) + list(bias_nums))[:-1].tolist()
+    splits = list(jnp.split(params, boundaries, axis=1))
     weights = splits[:num_layers]
     biases = splits[num_layers:]
 

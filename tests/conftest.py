@@ -5,6 +5,12 @@ Must set env vars before the first `import jax` anywhere in the test session.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# the axon TPU plugin ignores JAX_PLATFORMS; the legacy var is honored
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+# persistent compilation cache — the build host has a single CPU core, so
+# caching compiled executables across test runs is a huge win
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
