@@ -2,6 +2,12 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Method: N forwards are chained inside a single jitted `lax.scan` whose carry
+perturbs the input — so iterations execute sequentially on-device and only a
+scalar returns to the host.  This is robust on the tunneled "axon" platform,
+where `block_until_ready` returns before execution finishes (async dispatch)
+and per-call host transfers would measure tunnel bandwidth, not the chip.
+
 Baseline note: the reference repo publishes no numbers (README is two lines;
 see BASELINE.md).  `vs_baseline` is measured fps divided by ESTIMATED_A100_FPS,
 an estimate of the reference PyTorch pipeline's A2D R101 clip-inference
@@ -24,7 +30,7 @@ ESTIMATED_A100_FPS = 50.0  # estimated reference clip-frames/sec on one A100
 # bench shape: 5-frame clip at the reference's inference scale (Resize 360,
 # max_size 640 -> padded canvas 384x640, /32-aligned)
 FRAMES, HEIGHT, WIDTH = 5, 384, 640
-WARMUP, ITERS = 2, 8
+ITERS = 8
 
 
 def main():
@@ -40,30 +46,45 @@ def main():
     rng = np.random.default_rng(0)
     batch = synthetic_batch(rng, batch=1, frames=FRAMES, height=HEIGHT, width=WIDTH)
 
+    samples = jnp.asarray(batch["samples"])
     args = (
-        jnp.asarray(batch["samples"]), jnp.asarray(batch["samples_mask"]),
+        jnp.asarray(batch["samples_mask"]),
         jnp.asarray(batch["text_ids"]), jnp.asarray(batch["text_mask"]),
         jnp.asarray(batch["targets"]["size"]),
     )
+    vi = jnp.zeros((1,), jnp.int32)
     params = jax.jit(
-        lambda: model.init(jax.random.PRNGKey(0), *args,
-                           valid_indices=jnp.zeros((1,), jnp.int32), train=False)
+        lambda: model.init(jax.random.PRNGKey(0), samples, *args,
+                           valid_indices=vi, train=False)
     )()
 
-    @jax.jit
-    def forward(params, samples, samples_mask, text_ids, text_mask, sizes, vi):
-        return model.apply(params, samples, samples_mask, text_ids, text_mask,
-                           sizes, valid_indices=vi, train=False)["pred_masks"]
+    def one(params, s):
+        return model.apply(params, s, *args, valid_indices=vi,
+                           train=False)["pred_masks"]
 
-    vi = jnp.zeros((1,), jnp.int32)
-    for _ in range(WARMUP):
-        forward(params, *args, vi).block_until_ready()
+    import functools
 
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def chained(params, s, n_iters):
+        def body(carry, _):
+            out = one(params, s + carry * 1e-6)
+            return out.mean().astype(s.dtype), None
+        carry, _ = jax.lax.scan(body, jnp.zeros((), s.dtype), None, length=n_iters)
+        return carry
+
+    # warmup / compile (both lengths)
+    float(chained(params, samples, 1))
+    float(chained(params, samples, ITERS))
+
+    # timed: subtract the 1-iter run to cancel dispatch/transfer overhead
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        forward(params, *args, vi).block_until_ready()
-    dt = (time.perf_counter() - t0) / ITERS
+    float(chained(params, samples, ITERS))
+    t_many = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(chained(params, samples, 1))
+    t_one = time.perf_counter() - t0
 
+    dt = max((t_many - t_one) / (ITERS - 1), 1e-9)
     fps = FRAMES / dt
     print(json.dumps({
         "metric": "clip_frames_per_sec_per_chip_a2d_r101",

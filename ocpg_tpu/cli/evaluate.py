@@ -1,0 +1,67 @@
+"""A2D / JHMDB evaluation entry point (reference: main.py --eval path,
+engine.py:126-194).
+
+Usage:
+    python -m ocpg_tpu.cli.evaluate --dataset_file a2d --a2d_path /data/a2d \
+        --checkpoint output/a2d_r101/checkpoints --backbone resnet101
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main():
+    p = argparse.ArgumentParser("ocpg_tpu evaluation")
+    p.add_argument("--dataset_file", default="a2d", choices=["a2d", "jhmdb"])
+    p.add_argument("--backbone", default="resnet101")
+    p.add_argument("--a2d_path", default=None)
+    p.add_argument("--jhmdb_path", default=None)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--num_frames", type=int, default=3)
+    p.add_argument("--tokenizer_path", default=None)
+    p.add_argument("--invert_masks", action="store_true",
+                   help="replicate the reference postprocessor quirk (postprocessors.py:46)")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import OCPGConfig
+    from ..data.datasets import build_dataset
+    from ..data.loader import ClipLoader
+    from ..engine.evaluate import evaluate_a2d
+    from ..models import build_model
+    from ..models.text_encoder import SimpleTokenizer
+
+    cfg = OCPGConfig(backbone=args.backbone, dataset_file=args.dataset_file,
+                     num_frames=args.num_frames)
+    root = args.a2d_path if args.dataset_file == "a2d" else args.jhmdb_path
+    dataset = build_dataset(args.dataset_file, root, "val", cfg.num_frames)
+    loader = ClipLoader(dataset, args.batch_size,
+                        tokenizer=SimpleTokenizer(args.tokenizer_path), train=False)
+
+    model, *_ = build_model(cfg)
+    host = next(iter(loader.epoch(0)))
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(host["samples"]), jnp.asarray(host["samples_mask"]),
+        jnp.asarray(host["text_ids"]), jnp.asarray(host["text_mask"]),
+        jnp.asarray(host["targets"]["size"]),
+        valid_indices=jnp.asarray(host.get("valid_indices", jnp.zeros(len(host["samples"]), jnp.int32))),
+        train=False,
+    )
+    if args.checkpoint:
+        from ..engine.checkpoint import load_params
+
+        params = load_params(args.checkpoint, params)
+
+    metrics = evaluate_a2d(model, params, loader, args.dataset_file,
+                           invert_masks=args.invert_masks)
+    print(json.dumps(metrics, indent=2))
+
+
+if __name__ == "__main__":
+    main()

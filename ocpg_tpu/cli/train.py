@@ -39,6 +39,8 @@ def get_args():
     p.add_argument("--tokenizer_path", default=None)
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler device trace of steps 10-14")
     return p.parse_args()
 
 
@@ -119,13 +121,28 @@ def main():
         donate_argnums=(0,),
     )
 
+    from ..utils.profiling import StepTimer, trace
+
     logger = JSONLLogger(out_dir / "log.txt")
     for epoch in range(start_epoch, cfg.epochs):
         meter = MetricMeter()
+        timer = StepTimer()
         t0 = time.time()
         for i, batch in enumerate(loader.epoch(epoch)):
+            timer.data_ready()
+            if args.profile_dir and epoch == start_epoch and i == 10:
+                import jax.profiler
+
+                jax.profiler.start_trace(args.profile_dir)
             batch = shard_batch(mesh, batch)
             state, metrics = train_step(state, batch)
+            if args.profile_dir and epoch == start_epoch and i == 14:
+                jax.tree_util.tree_map(
+                    lambda x: x.block_until_ready(), metrics)
+                import jax.profiler
+
+                jax.profiler.stop_trace()
+            timer.step_done()
             if i % args.log_every == 0:
                 vals = {k: float(v) for k, v in metrics.items()
                         if k in ("loss", "grad_norm", "loss_ce", "loss_mask",
@@ -134,7 +151,8 @@ def main():
                 print(f"epoch {epoch} it {i}/{steps_per_epoch} " +
                       " ".join(f"{k}={v:.4f}" for k, v in vals.items()), flush=True)
         ckpt.save(int(jax.device_get(state.step)), jax.device_get(state))
-        logger.write({"epoch": epoch, "time_s": time.time() - t0, **meter.averages()})
+        logger.write({"epoch": epoch, "time_s": time.time() - t0,
+                      **timer.averages(), **meter.averages()})
     print("done")
 
 

@@ -110,9 +110,12 @@ class MSDeformAttnModule(nn.Module):
         else:
             raise ValueError(reference_points.shape)
 
-        # fp32 island around the sampling op (reference wraps it in
-        # autocast(enabled=False), deformable_transformer.py:250,329)
-        out = ms_deform_attn(value.astype(jnp.float32), spatial_shapes, locations, attn)
+        # Sampling math (locations/weights) is fp32 — the reference wraps the
+        # op in autocast(enabled=False) (deformable_transformer.py:250,329)
+        # because fp16 under/overflows; bf16 shares fp32's exponent range, so
+        # the value gather itself stays in compute dtype (half the HBM
+        # traffic) while ms_deform_attn accumulates in fp32 internally.
+        out = ms_deform_attn(value, spatial_shapes, locations, attn)
         out = nn.Dense(self.d_model, dtype=self.dtype, kernel_init=xavier_uniform, name="output_proj")(out.astype(self.dtype))
         return out, locations, attn
 
@@ -214,6 +217,7 @@ class DeformableTransformer(nn.Module):
     enc_n_points: int = 4
     with_box_refine: bool = True
     num_samples_kept: int = 30       # top-30 sampling-point tracking (:373)
+    track_samples: bool = False      # visualization-only output; off by default
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -286,16 +290,18 @@ class DeformableTransformer(nn.Module):
             )(out_q, query_pos, ref_input, memory, spatial_shapes, mask_flat,
               deterministic=deterministic)
 
-            # top-30 sampling-point tracking (deformable_transformer.py:368-375)
-            lq = locations.shape[1]
-            norm_locs = locations / valid_ratios[:, None, None, :, None, :]
-            w_flat = attn.reshape(n, lq, -1)
-            s_flat = norm_locs.reshape(n, lq, -1, 2)
-            top_w, top_idx = jax.lax.top_k(w_flat, self.num_samples_kept)
-            samples_keep = jnp.take_along_axis(
-                s_flat, top_idx[..., None].repeat(2, axis=-1), axis=2
-            )
-            samples_layers.append(samples_keep)
+            # top-30 sampling-point tracking (deformable_transformer.py:368-375);
+            # visualization-only, gated off by default
+            if self.track_samples:
+                lq = locations.shape[1]
+                norm_locs = locations / valid_ratios[:, None, None, :, None, :]
+                w_flat = attn.reshape(n, lq, -1)
+                s_flat = norm_locs.reshape(n, lq, -1, 2)
+                top_w, top_idx = jax.lax.top_k(w_flat, self.num_samples_kept)
+                samples_keep = jnp.take_along_axis(
+                    s_flat, top_idx[..., None].repeat(2, axis=-1), axis=2
+                )
+                samples_layers.append(samples_keep)
 
             if self.with_box_refine:
                 bias0 = np.zeros(4, np.float32)
@@ -323,7 +329,9 @@ class DeformableTransformer(nn.Module):
 
         hs = jnp.stack(hs_layers)                       # (Ldec, N, Q, C)
         inter_references = jnp.stack(refs_layers)        # (Ldec, N, Q, 2|4)
-        inter_samples = jnp.stack(samples_layers)        # (Ldec, N, Q, 30, 2)
+        inter_samples = (
+            jnp.stack(samples_layers) if self.track_samples else None
+        )                                                # (Ldec, N, Q, 30, 2)
         inter_coords = (
             jnp.stack(coords_layers) if self.with_box_refine else None
         )

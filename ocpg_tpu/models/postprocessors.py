@@ -18,6 +18,27 @@ from ..evaluation.rle import rle_encode
 from ..ops.image import bilinear_resize
 
 
+def refcoco_postprocess(
+    pred_logits: np.ndarray,      # (B, T=1, Q, K)
+    pred_boxes: np.ndarray,       # (B, T=1, Q, 4) cxcywh normalized
+    orig_sizes: Sequence[Tuple[int, int]],  # (h, w) per sample
+) -> List[Dict]:
+    """Top-scored boxes in absolute xyxy (PostProcess, postprocessors.py:57-93)."""
+    out = []
+    scores = 1.0 / (1.0 + np.exp(-pred_logits[:, 0, :, :]))  # (B, Q, K)
+    for i in range(pred_logits.shape[0]):
+        s = scores[i].max(axis=-1)
+        labels = scores[i].argmax(axis=-1)
+        cx, cy, w, h = np.split(pred_boxes[i, 0], 4, axis=-1)
+        oh, ow = orig_sizes[i]
+        boxes = np.concatenate(
+            [(cx - w / 2) * ow, (cy - h / 2) * oh, (cx + w / 2) * ow, (cy + h / 2) * oh],
+            axis=-1)
+        order = np.argsort(-s)
+        out.append({"scores": s[order], "labels": labels[order], "boxes": boxes[order]})
+    return out
+
+
 def a2d_postprocess(
     pred_logits: np.ndarray,      # (B, T, Q, K) — T = 1 valid frame
     pred_masks: np.ndarray,       # (B, T, Q, H, W) logits on the padded canvas

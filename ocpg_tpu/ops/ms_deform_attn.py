@@ -37,13 +37,20 @@ Array = jax.Array
 
 
 def _sample_one_level(
-    value_l: Array,          # (N, H*W, M, D)
+    value_l: Array,          # (N*M, H*W, D) — heads folded into batch
     height: int,
     width: int,
     loc: Array,              # (N, Lq, M, P, 2)  normalized [0, 1] (x, y)
 ) -> Array:                  # (N, Lq, M, P, D)
-    """Bilinear sampling with grid_sample(align_corners=False, padding=zeros) semantics."""
+    """Bilinear sampling with grid_sample(align_corners=False, padding=zeros) semantics.
+
+    The gather operand is laid out (batch=N*M, gather_axis=S, minor=D): a
+    canonical batched row gather that XLA lowers to vectorized dynamic
+    gathers on TPU.  (A layout with the head axis *between* S and D lowers to
+    a scalar loop — catastrophically slow.)
+    """
     n, lq, m, p, _ = loc.shape
+    d = value_l.shape[-1]
     compute_dtype = value_l.dtype
 
     # pixel coordinates: x = loc_x * W - 0.5  (align_corners=False)
@@ -55,7 +62,7 @@ def _sample_one_level(
     dx = (x - x0)
     dy = (y - y0)
 
-    out = jnp.zeros((n, lq, m, p, value_l.shape[-1]), dtype=jnp.float32)
+    out = jnp.zeros((n, lq, m, p, d), dtype=jnp.float32)
     # four bilinear corners: (corner_x, corner_y, weight)
     corners = (
         (x0, y0, (1.0 - dx) * (1.0 - dy)),
@@ -68,10 +75,10 @@ def _sample_one_level(
         ix = jnp.clip(cx, 0, width - 1).astype(jnp.int32)
         iy = jnp.clip(cy, 0, height - 1).astype(jnp.int32)
         flat = iy * width + ix                              # (N, Lq, M, P)
-        # gather over the H*W axis; fold (Lq, P) into the gather axis
-        flat = jnp.transpose(flat, (0, 1, 3, 2)).reshape(n, lq * p, m)
-        g = jnp.take_along_axis(value_l, flat[..., None], axis=1)  # (N, Lq*P, M, D)
-        g = g.reshape(n, lq, p, m, -1).transpose(0, 1, 3, 2, 4)    # (N, Lq, M, P, D)
+        # (N, Lq, M, P) -> (N*M, Lq*P): fold heads into batch, points into rows
+        flat = jnp.transpose(flat, (0, 2, 1, 3)).reshape(n * m, lq * p)
+        g = jnp.take_along_axis(value_l, flat[..., None], axis=1)  # (N*M, Lq*P, D)
+        g = g.reshape(n, m, lq, p, d).transpose(0, 2, 1, 3, 4)     # (N, Lq, M, P, D)
         w = jnp.where(valid, cw, 0.0)
         out = out + w[..., None] * g.astype(jnp.float32)
     return out.astype(compute_dtype)
@@ -94,10 +101,13 @@ def ms_deform_attn(
     assert l == len(spatial_shapes), (l, spatial_shapes)
     assert s == sum(h * w for h, w in spatial_shapes), (s, spatial_shapes)
 
+    # (N, S, M, D) -> (N*M, S, D): heads folded into the gather batch
+    value_nm = value.transpose(0, 2, 1, 3).reshape(n * m, s, d)
+
     level_start = 0
     out = jnp.zeros((n, lq, m, d), dtype=jnp.float32)
     for lid, (h, w) in enumerate(spatial_shapes):
-        value_l = jax.lax.dynamic_slice_in_dim(value, level_start, h * w, axis=1)
+        value_l = jax.lax.dynamic_slice_in_dim(value_nm, level_start, h * w, axis=1)
         sampled = _sample_one_level(value_l, h, w, sampling_locations[:, :, :, lid])
         aw = attention_weights[:, :, :, lid].astype(jnp.float32)   # (N, Lq, M, P)
         out = out + jnp.einsum("nqmpd,nqmp->nqmd", sampled.astype(jnp.float32), aw)
