@@ -45,11 +45,6 @@ try:
 except ImportError:  # pragma: no cover
     Image = None
 
-YTVOS_CATEGORIES = {
-    # datasets/categories.py ytvos dict — category name -> id (65 classes)
-}
-
-
 def center_of_mass(bitmask: np.ndarray) -> Tuple[float, float]:
     """Pixel-unit centroid (util/box_ops.py:114-125)."""
     h, w = bitmask.shape[-2:]
@@ -328,21 +323,36 @@ class A2DSentencesDataset:
 
 
 class JHMDBSentencesDataset:
-    """JHMDB-Sentences (eval-only; frame PNGs + .mat puppet masks, jhmdb.py:35-94)."""
+    """JHMDB-Sentences (eval-only; frame PNGs + .mat puppet masks, jhmdb.py:35-94).
+
+    Sampling is deterministic: the reference enumerates fixed
+    (video, chosen-frame) samples from `jhmdb_sentences_samples_metadata.json`
+    (jhmdb.py:48-51,64-81); we read the same file when present.  The fallback
+    (annotation txt only) derives the annotated frame from a per-sample seeded
+    RNG so two eval runs produce identical metrics.
+    """
 
     def __init__(self, root: str, num_frames: int = 3):
         self.root = Path(root)
         self.num_frames = num_frames
-        ann = self.root / "jhmdb_annotation.txt"
         self.samples = []
-        if ann.exists():
-            import csv
+        meta = self.root / "jhmdb_sentences_samples_metadata.json"
+        if meta.exists():
+            with open(meta) as f:
+                # (video_id, chosen_frame_path, masks_path, total_frames, query)
+                for video_id, frame_path, _, _, query in json.load(f):
+                    frame_id = int(Path(frame_path).stem) - 1  # 1-indexed source
+                    self.samples.append((video_id, query, frame_id))
+        else:
+            ann = self.root / "jhmdb_annotation.txt"
+            if ann.exists():
+                import csv
 
-            with open(ann) as f:
-                reader = csv.reader(f)
-                next(reader, None)
-                for video_id, query in reader:
-                    self.samples.append((video_id, query))
+                with open(ann) as f:
+                    reader = csv.reader(f)
+                    next(reader, None)
+                    for video_id, query in reader:
+                        self.samples.append((video_id, query, None))
 
     def __len__(self):
         return len(self.samples)
@@ -350,14 +360,17 @@ class JHMDBSentencesDataset:
     def get_clip(self, idx: int, rng: random.Random) -> ClipRecord:
         from scipy.io import loadmat
 
-        video_id, query = self.samples[idx]
+        video_id, query, frame_id = self.samples[idx]
         frames_dir = next((self.root / "Rename_Images").glob(f"*/{video_id}"))
         frame_files = sorted(frames_dir.glob("*.png"))
         video = np.stack([np.asarray(Image.open(p).convert("RGB")) for p in frame_files])
         mat = loadmat(str(next((self.root / "puppet_mask").glob(f"*/{video_id}/puppet_mask.mat"))))
         puppet = np.asarray(mat["part_mask"])  # (H, W, T_annot)
         t_annot = puppet.shape[-1]
-        frame_id = rng.randint(0, t_annot - 1) if t_annot > 1 else 0
+        if frame_id is None:
+            # deterministic per-sample choice (NOT the caller's epoch rng)
+            frame_id = random.Random(idx).randint(0, t_annot - 1) if t_annot > 1 else 0
+        frame_id = min(frame_id, t_annot - 1)
         sample = [min(max(i, 0), len(video) - 1)
                   for i in range(frame_id - self.num_frames // 2,
                                  frame_id + (self.num_frames + 1) // 2)]

@@ -75,15 +75,22 @@ def make_train_step(
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, state.step, dropout_rng
         )
-        # non-finite guard: skip the update, keep optimizer state
-        finite = jnp.isfinite(total)
-        grads = jax.tree_util.tree_map(
-            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
-        )
         inner = grads["params"] if "params" in grads else grads
         params_inner = state.params["params"] if "params" in state.params else state.params
         updates, new_opt_state = optimizer.update(inner, state.opt_state, params_inner)
         new_params_inner = optax.apply_updates(params_inner, updates)
+        # Non-finite guard: a skipped step must leave params AND opt_state
+        # bit-identical — AdamW momentum and decoupled weight decay must not
+        # move (the reference zeroes NaN losses / exits on non-finite total,
+        # engine.py:53-59,92-95; skipping is the restart-free equivalent).
+        finite = jnp.isfinite(total)
+
+        def _keep_old(new_tree, old_tree):
+            return jax.tree_util.tree_map(
+                lambda n, o: jnp.where(finite, n, o), new_tree, old_tree)
+
+        new_params_inner = _keep_old(new_params_inner, params_inner)
+        new_opt_state = _keep_old(new_opt_state, state.opt_state)
         if "params" in state.params:
             new_params = dict(state.params)
             new_params["params"] = new_params_inner

@@ -15,8 +15,14 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# The axon TPU plugin ignores JAX_PLATFORMS/JAX_PLATFORM_NAME, so the env vars
+# above are not enough: pin the default device so every eager op and jit
+# without explicit shardings lands on the host CPU, never the tunneled TPU.
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 
 @pytest.fixture

@@ -61,6 +61,76 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(restored.step) == 0
 
 
+def test_nonfinite_step_skips_update():
+    """A NaN-loss batch must leave params AND opt_state bit-identical.
+
+    Reference behavior: engine.py:53-59 zeroes NaN losses and :92-95 exits on
+    a non-finite total; our restart-free equivalent is a true skipped step —
+    AdamW momentum and decoupled weight decay must not move either.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ocpg_tpu.models import build_model
+    from ocpg_tpu.engine import build_optimizer, create_train_state, make_train_step
+
+    cfg = OCPGConfig(
+        backbone="resnet50", enc_layers=1, dec_layers=2, dim_feedforward=64,
+        num_queries=5, num_frames=2, compute_dtype="float32",
+        dataset_file="ytvos",
+        text_layers=2, text_hidden=128, text_heads=4, text_ffn=256,
+        text_vocab=2048,
+    )
+    model, _, criterion_cfg, weight_dict = build_model(cfg)
+    rng = np.random.default_rng(0)
+    b, t, h, w, lt = 1, 2, 64, 64, 8
+    batch = {
+        "samples": jnp.asarray(rng.standard_normal((b, t, h, w, 3)), jnp.float32),
+        "samples_mask": jnp.zeros((b, t, h, w), bool),
+        "text_ids": jnp.asarray(rng.integers(4, 1000, (b, lt)), jnp.int32),
+        "text_mask": jnp.ones((b, lt), jnp.int32),
+        "targets": {
+            "labels": jnp.zeros((b, t), jnp.int32),
+            "boxes": jnp.tile(jnp.asarray([0.4, 0.5, 0.3, 0.4], jnp.float32), (b, t, 1)),
+            "valid": jnp.ones((b, t), jnp.int32),
+            "masks": jnp.asarray(rng.random((b, t, h, w)) > 0.7, jnp.float32),
+            "weights": jnp.asarray(rng.random((b, t, h, w)), jnp.float32),
+            "weak_masks": jnp.asarray(rng.random((b, t, h, w)) > 0.6, jnp.float32),
+            "size": jnp.tile(jnp.asarray([[h, w]], jnp.int32), (b, 1)),
+        },
+    }
+    params = model.init(
+        jax.random.PRNGKey(0), batch["samples"], batch["samples_mask"],
+        batch["text_ids"], batch["text_mask"], batch["targets"]["size"],
+        targets=batch["targets"], train=True,
+    )
+    optimizer = build_optimizer(cfg, lr_drop_steps=[1000])
+    state = create_train_state(params, optimizer)
+    step = jax.jit(make_train_step(model, criterion_cfg, weight_dict, optimizer))
+
+    nan_batch = dict(batch)
+    nan_batch["samples"] = batch["samples"].at[0, 0, 0, 0, 0].set(jnp.nan)
+    new_state, metrics = step(state, nan_batch)
+    assert float(metrics["finite"]) == 0.0
+    jax.tree_util.tree_map(
+        lambda a, b_: np.testing.assert_array_equal(np.asarray(a), np.asarray(b_)),
+        state.params, new_state.params)
+    jax.tree_util.tree_map(
+        lambda a, b_: np.testing.assert_array_equal(np.asarray(a), np.asarray(b_)),
+        state.opt_state, new_state.opt_state)
+    assert int(new_state.step) == int(state.step) + 1
+
+    good_state, metrics = step(state, batch)
+    assert float(metrics["finite"]) == 1.0
+    changed = jax.tree_util.tree_reduce(
+        lambda acc, pair: acc or pair,
+        jax.tree_util.tree_map(
+            lambda a, b_: bool(np.any(np.asarray(a) != np.asarray(b_))),
+            state.params, good_state.params),
+        False)
+    assert changed, "finite step should update params"
+
+
 def test_refexp_metrics():
     from ocpg_tpu.evaluation.refexp_metrics import evaluate_refexp
 
