@@ -89,6 +89,10 @@ class OCPGConfig:
     # * Numerics (TPU): bf16 matmul path with fp32 islands, replaces AMP+GradScaler
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
+    # MSDA core-op implementation: 'auto' resolves to the Pallas TPU kernel
+    # when it compiles on the current backend, else the XLA gather path.
+    # ('pallas' | 'separable' | 'xla' force a specific path.)
+    msda_impl: str = "auto"
 
     # * Parallelism: mesh axis sizes; data axis shards (batch*time)
     data_parallel: int = 1

@@ -39,6 +39,13 @@ def build_weight_dict(cfg: OCPGConfig) -> Dict[str, float]:
 
 
 def build_model(cfg: OCPGConfig) -> Tuple[OCPG, MatcherConfig, CriterionConfig, Dict[str, float]]:
+    if cfg.msda_impl == "auto":
+        # Resolve the MSDA implementation here, outside any jit trace: the
+        # probe compiles a tiny kernel on the current default backend
+        # (TPU -> 'pallas'; CPU meshes / tests -> 'xla').
+        from ..ops.ms_deform_attn_pallas import pallas_available
+
+        cfg = cfg.replace(msda_impl="pallas" if pallas_available() else "xla")
     model = OCPG(cfg)
     matcher_cfg = MatcherConfig(
         cost_class=cfg.set_cost_class,

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops.ms_deform_attn import ms_deform_attn
+from ..ops.ms_deform_attn import ms_deform_attn_fast
 from .layers import MLP, MultiheadAttention, inverse_sigmoid, xavier_uniform
 
 Array = jax.Array
@@ -61,6 +61,7 @@ class MSDeformAttnModule(nn.Module):
     n_heads: int = 8
     n_points: int = 4
     dtype: jnp.dtype = jnp.float32
+    msda_impl: str = "xla"            # 'pallas' | 'separable' | 'xla'
 
     @nn.compact
     def __call__(
@@ -115,7 +116,8 @@ class MSDeformAttnModule(nn.Module):
         # because fp16 under/overflows; bf16 shares fp32's exponent range, so
         # the value gather itself stays in compute dtype (half the HBM
         # traffic) while ms_deform_attn accumulates in fp32 internally.
-        out = ms_deform_attn(value, spatial_shapes, locations, attn)
+        out = ms_deform_attn_fast(value, spatial_shapes, locations, attn,
+                                  self.msda_impl)
         out = nn.Dense(self.d_model, dtype=self.dtype, kernel_init=xavier_uniform, name="output_proj")(out.astype(self.dtype))
         return out, locations, attn
 
@@ -128,13 +130,14 @@ class EncoderLayer(nn.Module):
     n_points: int
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    msda_impl: str = "xla"
 
     @nn.compact
     def __call__(self, src, pos, reference_points, spatial_shapes, padding_mask,
                  *, deterministic: bool = True):
         src2, _, _ = MSDeformAttnModule(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
-            dtype=self.dtype, name="self_attn",
+            dtype=self.dtype, msda_impl=self.msda_impl, name="self_attn",
         )(src + pos, reference_points, src, spatial_shapes, padding_mask)
         src = src + nn.Dropout(self.dropout)(src2, deterministic=deterministic)
         src = nn.LayerNorm(dtype=self.dtype, name="norm1")(src)
@@ -154,6 +157,7 @@ class DecoderLayer(nn.Module):
     n_points: int
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    msda_impl: str = "xla"
 
     @nn.compact
     def __call__(self, tgt, query_pos, reference_points, src, spatial_shapes,
@@ -166,7 +170,7 @@ class DecoderLayer(nn.Module):
 
         tgt2, locations, attn = MSDeformAttnModule(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
-            dtype=self.dtype, name="cross_attn",
+            dtype=self.dtype, msda_impl=self.msda_impl, name="cross_attn",
         )(tgt + query_pos, reference_points, src, spatial_shapes, src_padding_mask)
         tgt = tgt + nn.Dropout(self.dropout)(tgt2, deterministic=deterministic)
         tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt)
@@ -219,6 +223,7 @@ class DeformableTransformer(nn.Module):
     num_samples_kept: int = 30       # top-30 sampling-point tracking (:373)
     track_samples: bool = False      # visualization-only output; off by default
     dtype: jnp.dtype = jnp.float32
+    msda_impl: str = "xla"
 
     @nn.compact
     def __call__(
@@ -256,7 +261,7 @@ class DeformableTransformer(nn.Module):
             output = EncoderLayer(
                 self.d_model, self.dim_feedforward, self.num_feature_levels,
                 self.nhead, self.enc_n_points, self.dropout, dtype=self.dtype,
-                name=f"encoder_layer_{i}",
+                msda_impl=self.msda_impl, name=f"encoder_layer_{i}",
             )(output, pos_flat, enc_ref, spatial_shapes, mask_flat,
               deterministic=deterministic)
         memory = output
@@ -286,7 +291,7 @@ class DeformableTransformer(nn.Module):
             out_q, locations, attn = DecoderLayer(
                 self.d_model, self.dim_feedforward, self.num_feature_levels,
                 self.nhead, self.dec_n_points, self.dropout, dtype=self.dtype,
-                name=f"decoder_layer_{i}",
+                msda_impl=self.msda_impl, name=f"decoder_layer_{i}",
             )(out_q, query_pos, ref_input, memory, spatial_shapes, mask_flat,
               deterministic=deterministic)
 

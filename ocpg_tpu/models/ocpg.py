@@ -174,13 +174,18 @@ class OCPG(nn.Module):
         tgt = jnp.repeat(text_sentence[:, None, :], t, axis=1).reshape(bt, 1, hidden)
         tgt = jnp.broadcast_to(tgt, (bt, nq, hidden))
 
+        # 'auto' is resolved eagerly by build_model (the pallas probe cannot
+        # run inside an active jit trace); treat a leftover 'auto' as 'xla'.
+        msda_impl = "xla" if cfg.msda_impl == "auto" else cfg.msda_impl
+
         tr = DeformableTransformer(
             d_model=hidden, nhead=cfg.nheads,
             num_encoder_layers=cfg.enc_layers, num_decoder_layers=cfg.dec_layers,
             dim_feedforward=cfg.dim_feedforward, dropout=cfg.dropout,
             num_feature_levels=cfg.num_feature_levels,
             dec_n_points=cfg.dec_n_points, enc_n_points=cfg.enc_n_points,
-            with_box_refine=cfg.with_box_refine, dtype=dtype, name="transformer",
+            with_box_refine=cfg.with_box_refine, dtype=dtype,
+            msda_impl=msda_impl, name="transformer",
         )(srcs, tgt, masks_l, poses, query_embed, deterministic=deterministic)
 
         hs = tr["hs"]                                # (L, BT, Q, C)

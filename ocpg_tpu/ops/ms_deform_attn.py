@@ -115,6 +115,106 @@ def ms_deform_attn(
     return out.reshape(n, lq, m * d).astype(value.dtype)
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
+def ms_deform_attn_separable(
+    value: Array,                                # (N, S, M, D)
+    spatial_shapes: Tuple[Tuple[int, int], ...],
+    sampling_locations: Array,                   # (N, Lq, M, L, P, 2)
+    attention_weights: Array,                    # (N, Lq, M, L, P)
+) -> Array:                                      # (N, Lq, M * D)
+    """Gather-free MSDA: bilinear sampling as separable hat-matrix matmuls.
+
+    out[q, d] = sum_w cx[q, w] * sum_h (ry * attn)[q, h] * V[h, w, d]
+
+    cx / ry are dense rows with two non-zeros (the bilinear corner weights,
+    zero outside the map — grid_sample 'zeros' padding).  Rides the MXU
+    instead of gather hardware: 3.3x faster than the gather formulation on
+    TPU v5e at bench shapes (PROFILE.md), and its autodiff backward is the
+    gradient path for the Pallas forward kernel (ms_deform_attn_pallas.py).
+    Functionally identical to the CUDA kernel
+    (/root/reference/models/ops/src/cuda/ms_deform_im2col_cuda.cuh:237-299).
+    """
+    n, s, m, d = value.shape
+    _, lq, _, l, p, _ = sampling_locations.shape
+    nm, lqp = n * m, lq * p
+    value_nm = value.transpose(0, 2, 1, 3).reshape(nm, s, d)
+
+    out = jnp.zeros((nm, lq, d), jnp.float32)
+    start = 0
+    for lid, (h, w) in enumerate(spatial_shapes):
+        v = jax.lax.dynamic_slice_in_dim(value_nm, start, h * w, axis=1)
+        v_whd = v.reshape(nm, h, w, d).transpose(0, 2, 1, 3).reshape(nm, w, h * d)
+        loc = sampling_locations[:, :, :, lid].astype(jnp.float32)
+        x = loc[..., 0] * w - 0.5
+        y = loc[..., 1] * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        aw = attention_weights[:, :, :, lid].astype(jnp.float32)
+
+        def fold(a):  # (N, Lq, M, P) -> (NM, LQP)
+            return a.transpose(0, 2, 1, 3).reshape(nm, lqp)
+
+        def hat(center, frac, k):
+            grid = jnp.arange(k, dtype=jnp.float32)
+            c = center[..., None]
+            f = frac[..., None]
+            return (jnp.maximum(0.0, 1.0 - jnp.abs(c - grid)) * (1.0 - f)
+                    + jnp.maximum(0.0, 1.0 - jnp.abs(c + 1.0 - grid)) * f)
+
+        cx = hat(fold(x0), fold(x - x0), w)                       # (NM, LQP, W)
+        ry = hat(fold(y0), fold(y - y0), h) * fold(aw)[..., None]  # (NM, LQP, H)
+        mm_dtype = jnp.bfloat16 if value.dtype == jnp.bfloat16 else jnp.float32
+        a = jnp.einsum("bqw,bwk->bqk", cx.astype(mm_dtype), v_whd.astype(mm_dtype),
+                       preferred_element_type=jnp.float32)         # (NM, LQP, H*D)
+        a = a.reshape(nm, lqp, h, d)
+        o = jnp.einsum("bqhd,bqh->bqd", a, ry)                     # (NM, LQP, D)
+        out = out + o.reshape(nm, lq, p, d).sum(axis=2)
+        start += h * w
+    return (out.reshape(n, m, lq, d).transpose(0, 2, 1, 3)
+            .reshape(n, lq, m * d).astype(value.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
+def ms_deform_attn_fast(value, spatial_shapes, sampling_locations,
+                        attention_weights, impl: str = "xla"):
+    """MSDA with a selectable forward implementation and a shared backward.
+
+    impl: 'pallas' -> Pallas TPU kernel forward (ms_deform_attn_pallas.py);
+          'separable' -> XLA matmul formulation; 'xla' -> batched gathers.
+    The backward always differentiates the XLA separable formulation, which
+    replaces the reference's five hand-written col2im CUDA kernel variants
+    (ms_deform_im2col_cuda.cuh:301-921) with autodiff.
+    """
+    if impl == "pallas":
+        from .ms_deform_attn_pallas import ms_deform_attn_pallas
+
+        return ms_deform_attn_pallas(value, spatial_shapes, sampling_locations,
+                                     attention_weights)
+    if impl == "separable":
+        return ms_deform_attn_separable(value, spatial_shapes,
+                                        sampling_locations, attention_weights)
+    return ms_deform_attn(value, spatial_shapes, sampling_locations,
+                          attention_weights)
+
+
+def _msda_fast_fwd(value, spatial_shapes, sampling_locations,
+                   attention_weights, impl):
+    out = ms_deform_attn_fast(value, spatial_shapes, sampling_locations,
+                              attention_weights, impl)
+    return out, (value, sampling_locations, attention_weights)
+
+
+def _msda_fast_bwd(spatial_shapes, impl, residuals, g):
+    value, sampling_locations, attention_weights = residuals
+    _, vjp = jax.vjp(
+        lambda v, sl, aw: ms_deform_attn_separable(v, spatial_shapes, sl, aw),
+        value, sampling_locations, attention_weights)
+    return vjp(g)
+
+
+ms_deform_attn_fast.defvjp(_msda_fast_fwd, _msda_fast_bwd)
+
+
 def ms_deform_attn_reference(
     value,
     spatial_shapes: Sequence[Tuple[int, int]],

@@ -1,21 +1,35 @@
-"""Experimental Pallas kernel for multi-scale deformable attention (forward).
+"""Pallas TPU kernel for multi-scale deformable attention (forward).
 
-Strategy: the bilinear corners and their combined weights
-(bilinear_weight x attention_weight, zeroed outside the map) are computed
-with cheap VPU math *outside* the kernel; the kernel then performs the hot
-part — four weighted row-gathers per level from a VMEM-resident value block:
+Replaces the reference CUDA kernel pair (`/root/reference/models/ops/src/cuda/
+ms_deform_im2col_cuda.cuh:237-299` forward, `:301-921` backward) with a
+formulation that never gathers: bilinear sampling is *separable*, so each
+sampled value is
 
-    out[q] = sum_c w[q, c] * value[idx[q, c]]
+    out[q, d] = sum_w cx[q, w] * sum_h ry[q, h] * V[h, w, d]
 
-Grid: (N*M, query tiles).  The per-level value block (S_l, D) is pipelined
-into VMEM by the BlockSpec machinery; gathers run against VMEM instead of
-issuing N*M*Lq*P*4 separate HBM transactions, which is the theoretical win
-over the XLA lowering when query tiles reuse the same value block.
+where cx (resp. ry) is a "hat" row with at most two non-zeros — the
+x-(resp. y-)bilinear corner weights, exactly zero outside the map
+(grid_sample 'zeros' padding).  On TPU this becomes MXU matmuls:
 
-Status: the in-kernel `jnp.take_along_axis` requires Mosaic's sublane-gather
-lowering; on stacks without it the `interpret=True` path is still exact and
-the public `ms_deform_attn` (ops/ms_deform_attn.py, canonical XLA batched
-gather) remains the production op.  `pallas_available()` probes support.
+    stage 1:  A    = cx @ V'         V' laid out (W, D*H)     -> (TQ, D*H)
+    expand :  RYX  = (ry * attn) @ REP_l   REP replicates h-weights D times
+    stage 2:  out  = concat_l(A_l * RYX_l) @ SEL              -> (TQ, L*D)
+              acc  = sum over the L slabs                     -> (TQ, D)
+
+REP_l (H, D*H) and SEL (sum_l D*H_l, L*D) are constant 0/1 matrices, so the
+only VPU work is building the tiny hat rows and one wide bf16 multiply; the
+per-level A intermediate lives in VMEM for one query tile.  The XLA lowering
+of the same algebra (ms_deform_attn.py::ms_deform_attn_separable) round-trips
+A through HBM — that is the fallback path and the source of the backward pass.
+
+Measured on TPU v5e (bench shapes: S=5100, Lq=5100, M=8, D=32, L=4, P=4,
+see PROFILE.md): XLA gather formulation 22.1 ms/call, XLA separable 6.7 ms,
+this kernel 2.9 ms — and it removes the separate corner-weighting and
+attention-reduction fusions that the gather path needs.
+
+Gradients: `ms_deform_attn_fast` (ops/ms_deform_attn.py) wraps this forward
+in a custom_vjp whose backward differentiates the XLA formulation, matching
+the reference's five hand-written col2im CUDA variants via autodiff instead.
 """
 
 from __future__ import annotations
@@ -32,105 +46,173 @@ Array = jax.Array
 Shapes = Tuple[Tuple[int, int], ...]
 
 
-def _gather_kernel(idx_ref, w_ref, value_ref, out_ref):
-    # blocks: idx (1, TQ, 4) int32; w (1, TQ, 4) f32; value (1, S, D); out (1, TQ, D)
-    value = value_ref[0]
-    acc = jnp.zeros(out_ref.shape[1:], jnp.float32)
-    for c in range(4):
-        idx = idx_ref[0, :, c]
-        g = jnp.take_along_axis(value, idx[:, None], axis=0)  # (TQ, D)
-        acc = acc + w_ref[0, :, c][:, None] * g.astype(jnp.float32)
-    out_ref[0] = acc.astype(out_ref.dtype)
+def _hat(center: Array, frac: Array, grid: Array) -> Array:
+    """Two-corner bilinear weights on `grid` (..., K) for the corner pair
+    (center, center+1) with fractions (1-frac, frac).  Corners outside the
+    grid contribute zero — grid_sample 'zeros' padding semantics."""
+    c = center[:, None]
+    f = frac[:, None]
+    return (jnp.maximum(0.0, 1.0 - jnp.abs(c - grid)) * (1.0 - f)
+            + jnp.maximum(0.0, 1.0 - jnp.abs(c + 1.0 - grid)) * f)
 
 
-def _corners_and_weights(loc_x, loc_y, attn, height, width):
-    """Four (idx, weight) pairs per sample; weight folds bilinear x attention
-    and zeroes out-of-bounds corners (grid_sample zero padding)."""
-    x = loc_x * width - 0.5
-    y = loc_y * height - 0.5
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    dx, dy = x - x0, y - y0
-    idxs, ws = [], []
-    for cx, cy, cw in (
-        (x0, y0, (1 - dx) * (1 - dy)),
-        (x0 + 1, y0, dx * (1 - dy)),
-        (x0, y0 + 1, (1 - dx) * dy),
-        (x0 + 1, y0 + 1, dx * dy),
-    ):
-        valid = (cx >= 0) & (cx <= width - 1) & (cy >= 0) & (cy <= height - 1)
-        flat = (jnp.clip(cy, 0, height - 1) * width + jnp.clip(cx, 0, width - 1)).astype(jnp.int32)
-        idxs.append(flat)
-        ws.append(jnp.where(valid, cw, 0.0) * attn)
-    return jnp.stack(idxs, -1), jnp.stack(ws, -1)     # (..., 4) each
+def _msda_kernel(levels, d, tile, tiles_per_chunk,
+                 x0_ref, dx_ref, y0_ref, dy_ref, aw_ref, *rest):
+    nl = len(levels)
+    value_refs = rest[:nl]
+    rep_refs = rest[nl:2 * nl]
+    sel_ref = rest[2 * nl]
+    out_ref = rest[-1]
+
+    def tile_body(j, carry):
+        q0 = pl.multiple_of(j * tile, tile)
+        prods = []
+        for l, (h, w) in enumerate(levels):
+            x0 = x0_ref[0, l, pl.ds(q0, tile)]
+            dx = dx_ref[0, l, pl.ds(q0, tile)]
+            y0 = y0_ref[0, l, pl.ds(q0, tile)]
+            dy = dy_ref[0, l, pl.ds(q0, tile)]
+            aw = aw_ref[0, l, pl.ds(q0, tile)]
+            iw = jax.lax.broadcasted_iota(jnp.int32, (tile, w), 1).astype(jnp.float32)
+            cx = _hat(x0, dx, iw)                                   # (tile, W)
+            a = jnp.dot(cx.astype(jnp.bfloat16), value_refs[l][0],
+                        preferred_element_type=jnp.float32
+                        ).astype(jnp.bfloat16)                      # (tile, D*H)
+            ih = jax.lax.broadcasted_iota(jnp.int32, (tile, h), 1).astype(jnp.float32)
+            ry = (_hat(y0, dy, ih) * aw[:, None]).astype(jnp.bfloat16)  # (tile, H)
+            ryx = jnp.dot(ry, rep_refs[l][...],
+                          preferred_element_type=jnp.float32
+                          ).astype(jnp.bfloat16)                    # (tile, D*H)
+            prods.append(a * ryx)
+        prod = jnp.concatenate(prods, axis=1)                       # (tile, sum D*H_l)
+        out = jnp.dot(prod, sel_ref[...],
+                      preferred_element_type=jnp.float32)           # (tile, L*D)
+        acc = out[:, :d]
+        for l in range(1, nl):
+            acc = acc + out[:, l * d:(l + 1) * d]
+        out_ref[0, pl.ds(q0, tile), :] = acc
+        return carry
+
+    jax.lax.fori_loop(0, tiles_per_chunk, tile_body, 0)
 
 
-def _level_pallas(value_l: Array, idx: Array, w: Array, tile_q: int,
-                  interpret: bool) -> Array:
-    """value_l: (NM, S, D); idx/w: (NM, LQP, 4) -> (NM, LQP, D)."""
-    nm, s, d = value_l.shape
-    lqp = idx.shape[1]
-    pad = (-lqp) % tile_q
-    if pad:
-        idx = jnp.pad(idx, ((0, 0), (0, pad), (0, 0)))
-        w = jnp.pad(w, ((0, 0), (0, pad), (0, 0)))
-    n_tiles = (lqp + pad) // tile_q
+@functools.lru_cache(maxsize=None)
+def _constants_np(spatial_shapes: Shapes, d: int):
+    """REP_l (H_l, D*H_l) replicators and the block-diagonal SEL matrix as
+    numpy bool arrays (only host data is cached — jnp conversion happens per
+    trace, since staged constants are trace-local tracers)."""
+    import numpy as np
 
-    out = pl.pallas_call(
-        _gather_kernel,
-        out_shape=jax.ShapeDtypeStruct((nm, lqp + pad, d), value_l.dtype),
-        grid=(nm, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, tile_q, 4), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, tile_q, 4), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, tile_q, d), lambda i, j: (i, j, 0)),
-        interpret=interpret,
-    )(idx, w.astype(jnp.float32), value_l)
-    return out[:, :lqp]
+    reps, sel_blocks = [], []
+    nl = len(spatial_shapes)
+    for li, (h, _) in enumerate(spatial_shapes):
+        lanes = np.arange(d * h)
+        reps.append((lanes[None, :] % h) == np.arange(h)[:, None])
+        sel_blocks.append(
+            ((lanes[:, None] // h + li * d) == np.arange(nl * d)[None, :]))
+    return reps, np.concatenate(sel_blocks, axis=0)
+
+
+def _constants(spatial_shapes: Shapes, d: int):
+    reps_np, sel_np = _constants_np(spatial_shapes, d)
+    return ([jnp.asarray(r, jnp.bfloat16) for r in reps_np],
+            jnp.asarray(sel_np, jnp.bfloat16))
 
 
 @functools.partial(jax.jit, static_argnums=(1, 4, 5))
 def ms_deform_attn_pallas(
     value: Array,                 # (N, S, M, D)
     spatial_shapes: Shapes,
-    sampling_locations: Array,    # (N, Lq, M, L, P, 2)
+    sampling_locations: Array,    # (N, Lq, M, L, P, 2) in [0, 1]
     attention_weights: Array,     # (N, Lq, M, L, P)
     tile_q: int = 512,
-    interpret: bool = False,
-) -> Array:
+    interpret: bool = False,      # CPU-debuggable interpreter mode (tests)
+) -> Array:                       # (N, Lq, M * D)
     n, s, m, d = value.shape
     _, lq, _, l, p, _ = sampling_locations.shape
-    value_nm = value.transpose(0, 2, 1, 3).reshape(n * m, s, d)
+    assert l == len(spatial_shapes)
+    nm = n * m
+    lqp = lq * p
 
-    out = jnp.zeros((n * m, lq * p, d), jnp.float32)
+    # per-level values in (NM, W, D*H) layout so stage-2 lanes are dd*H+hh
+    value_nm = value.transpose(0, 2, 1, 3).reshape(nm, s, d)
+    v_levels = []
     start = 0
-    for lid, (h, w_) in enumerate(spatial_shapes):
-        value_l = jax.lax.dynamic_slice_in_dim(value_nm, start, h * w_, axis=1)
-        loc = sampling_locations[:, :, :, lid].astype(jnp.float32)
-        aw = attention_weights[:, :, :, lid].astype(jnp.float32)
-        # (N, Lq, M, P) -> (N*M, Lq*P)
-        lx = loc[..., 0].transpose(0, 2, 1, 3).reshape(n * m, lq * p)
-        ly = loc[..., 1].transpose(0, 2, 1, 3).reshape(n * m, lq * p)
-        a = aw.transpose(0, 2, 1, 3).reshape(n * m, lq * p)
-        idx, w = _corners_and_weights(lx, ly, a, h, w_)
-        out = out + _level_pallas(value_l.astype(jnp.float32), idx, w, tile_q, interpret)
-        start += h * w_
+    for (h, w) in spatial_shapes:
+        v = jax.lax.dynamic_slice_in_dim(value_nm, start, h * w, axis=1)
+        v = v.reshape(nm, h, w, d).transpose(0, 2, 3, 1).reshape(nm, w, d * h)
+        v_levels.append(v.astype(jnp.bfloat16))
+        start += h * w
 
-    out = out.reshape(n, m, lq, p, d).sum(axis=3)       # reduce points
+    # per-level query params folded to (NM, L, LQP) f32
+    loc = sampling_locations.astype(jnp.float32)
+    aw = attention_weights.astype(jnp.float32)
+    ws = jnp.asarray([w for _, w in spatial_shapes], jnp.float32)
+    hs = jnp.asarray([h for h, _ in spatial_shapes], jnp.float32)
+    x = loc[..., 0] * ws[None, None, None, :, None] - 0.5     # (N,Lq,M,L,P)
+    y = loc[..., 1] * hs[None, None, None, :, None] - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+
+    tile_q = min(tile_q, max(128, -(-lqp // 128) * 128))
+    pad = (-lqp) % tile_q
+
+    def fold_pad(a):  # (N, Lq, M, L, P) -> (NM, L, LQP [+pad])
+        a = a.transpose(0, 2, 3, 1, 4).reshape(nm, l, lqp)
+        return jnp.pad(a, ((0, 0), (0, 0), (0, pad))) if pad else a
+
+    x0f, dxf = fold_pad(x0), fold_pad(x - x0)
+    y0f, dyf = fold_pad(y0), fold_pad(y - y0)
+    awf = fold_pad(aw)
+    qtot = lqp + pad
+    n_tiles = qtot // tile_q
+    # a chunk of several tiles amortizes grid-step overhead while keeping the
+    # per-block VMEM footprint (qparams + out slab) small
+    tiles_per_chunk = min(n_tiles, 8)
+    while n_tiles % tiles_per_chunk:
+        tiles_per_chunk -= 1
+    chunk = tile_q * tiles_per_chunk
+    n_chunks = qtot // chunk
+
+    reps, sel = _constants(spatial_shapes, d)
+    tothd = sel.shape[0]
+
+    qspec = pl.BlockSpec((1, l, chunk), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM)
+    vspecs = [pl.BlockSpec((1, w, d * h), lambda i, j: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+              for (h, w) in spatial_shapes]
+    rspecs = [pl.BlockSpec((h, d * h), lambda i, j: (0, 0),
+                           memory_space=pltpu.VMEM)
+              for (h, w) in spatial_shapes]
+    sspec = pl.BlockSpec((tothd, l * d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_msda_kernel, spatial_shapes, d, tile_q,
+                          tiles_per_chunk),
+        out_shape=jax.ShapeDtypeStruct((nm, qtot, d), jnp.float32),
+        grid=(nm, n_chunks),
+        in_specs=[qspec] * 5 + vspecs + rspecs + [sspec],
+        out_specs=pl.BlockSpec((1, chunk, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x0f, dxf, y0f, dyf, awf, *v_levels, *reps, sel)
+
+    out = out[:, :lqp].reshape(n, m, lq, p, d).sum(axis=3)
     return out.transpose(0, 2, 1, 3).reshape(n, lq, m * d).astype(value.dtype)
 
 
+@functools.lru_cache(maxsize=1)
 def pallas_available() -> bool:
-    """Probe whether Mosaic can compile the gather kernel on this backend."""
+    """Probe whether the kernel compiles and runs on the default backend."""
     try:
         import numpy as np
 
-        v = jnp.asarray(np.random.rand(1, 16, 4, 8), jnp.float32)
-        locs = jnp.asarray(np.random.rand(1, 2, 4, 1, 2, 2), jnp.float32)
-        attn = jnp.ones((1, 2, 4, 1, 2), jnp.float32) / 2
-        ms_deform_attn_pallas(v, ((4, 4),), locs, attn, 8, False).block_until_ready()
-        return True
+        v = jnp.asarray(np.random.default_rng(0).random((1, 20, 2, 8)), jnp.float32)
+        locs = jnp.asarray(np.random.default_rng(1).random((1, 3, 2, 1, 2, 2)), jnp.float32)
+        attn = jnp.ones((1, 3, 2, 1, 2), jnp.float32) / 2
+        out = ms_deform_attn_pallas(v, ((4, 5),), locs, attn, 128)
+        return bool(jnp.isfinite(out).all())
     except Exception:
         return False

@@ -148,6 +148,136 @@ def convert_video_swin(sd: Dict, depths: Tuple[int, ...]) -> Dict:
     return out
 
 
+def _gn(sd, prefix) -> Dict[str, np.ndarray]:
+    return {"scale": _t(sd[f"{prefix}.weight"]), "bias": _t(sd[f"{prefix}.bias"])}
+
+
+def _mha(sd, prefix) -> Dict[str, Dict[str, np.ndarray]]:
+    """torch nn.MultiheadAttention (packed in_proj) -> q/k/v/out projections."""
+    w = _t(sd[f"{prefix}.in_proj_weight"])   # (3C, C)
+    b = _t(sd[f"{prefix}.in_proj_bias"])     # (3C,)
+    c = w.shape[1]
+    return {
+        "q_proj": {"kernel": w[:c].T, "bias": b[:c]},
+        "k_proj": {"kernel": w[c:2 * c].T, "bias": b[c:2 * c]},
+        "v_proj": {"kernel": w[2 * c:].T, "bias": b[2 * c:]},
+        "out_proj": _linear(sd, f"{prefix}.out_proj"),
+    }
+
+
+def _mlp(sd, prefix, n_layers: int = 3) -> Dict:
+    return {f"layers_{j}": _linear(sd, f"{prefix}.layers.{j}") for j in range(n_layers)}
+
+
+def _feature_resizer(sd, prefix) -> Dict:
+    return {"fc": _linear(sd, f"{prefix}.fc"), "layer_norm": _ln(sd, f"{prefix}.layer_norm")}
+
+
+def _lfm(sd, prefix) -> Dict:
+    """LFMResizeAdaptive (/root/reference/models/modules.py:8-22): conv1/conv2
+    on concatenated (real, imag), laplace conv, fc Sequential(0: C->C, 2: C->1,
+    both bias-free)."""
+    return {
+        "conv1": _conv(sd, f"{prefix}.conv1"),
+        "conv2": _conv(sd, f"{prefix}.conv2"),
+        "laplace": _conv(sd, f"{prefix}.laplace"),
+        "fc1": {"kernel": _t(sd[f"{prefix}.fc.0.weight"]).T},
+        "fc2": {"kernel": _t(sd[f"{prefix}.fc.2.weight"]).T},
+    }
+
+
+def _msda_module(sd, prefix) -> Dict:
+    return {
+        "sampling_offsets": _linear(sd, f"{prefix}.sampling_offsets"),
+        "attention_weights": _linear(sd, f"{prefix}.attention_weights"),
+        "value_proj": _linear(sd, f"{prefix}.value_proj"),
+        "output_proj": _linear(sd, f"{prefix}.output_proj"),
+    }
+
+
+def convert_ocpg(sd: Dict, *, enc_layers: int = 4, dec_layers: int = 4,
+                 num_feature_levels: int = 4, backbone: str = "resnet101",
+                 text_layers: int = 12, controller_layers_total: int = 3,
+                 with_box_refine: bool = True) -> Tuple[Dict, Dict]:
+    """Full reference OCPG checkpoint -> (params, frozen) trees.
+
+    Covers the entire param surface of /root/reference/models/ocpg.py:635-718:
+    backbone (Joiner[0].body torchvision resnet), RoBERTa text encoder,
+    text/sentence FeatureResizers, VL fusion MHA, per-level input_proj+GN and
+    LFM pairs, deformable transformer (encoder/decoder layers, level_embed,
+    reference_points, per-layer bbox_embed clones), class heads, controller,
+    ls_feat_viz/ls_text_proj, and the MSO refiner.  The matching golden test
+    (tests/test_golden_parity.py) runs a torch replica with these exact key
+    names against the converted JAX model.
+    """
+    params: Dict = {}
+    frozen: Dict = {}
+
+    # --- backbone: keys live under backbone.0.body.* (Joiner wraps the body)
+    bprefix = "backbone.0.body."
+    bb_sd = {k[len(bprefix):]: v for k, v in sd.items() if k.startswith(bprefix)}
+    layers = (3, 4, 23, 3) if backbone == "resnet101" else (3, 4, 6, 3)
+    params["backbone"], frozen["backbone"] = convert_resnet(bb_sd, layers)
+
+    # --- text encoder: HF RobertaModel under text_encoder.text_backbone.*
+    tprefix = "text_encoder.text_backbone."
+    tx_sd = {k[len(tprefix):]: v for k, v in sd.items() if k.startswith(tprefix)}
+    params["text_encoder"] = convert_roberta(tx_sd, text_layers)
+
+    params["text_proj"] = _feature_resizer(sd, "text_proj")
+    params["sentence_proj"] = _feature_resizer(sd, "sentence_proj")
+    params["fusion_module"] = {"multihead_attn": _mha(sd, "fusion_module.multihead_attn")}
+    params["query_embed"] = _t(sd["query_embed.weight"])
+    params["controller"] = _mlp(sd, "controller", controller_layers_total)
+    params["ls_feat_viz"] = _conv(sd, "ls_feat_viz")
+    params["ls_text_proj"] = _linear(sd, "ls_text_proj")
+
+    for l in range(num_feature_levels):
+        params[f"input_proj_{l}"] = _conv(sd, f"input_proj.{l}.0")
+        params[f"input_proj_gn_{l}"] = _gn(sd, f"input_proj.{l}.1")
+        params[f"input_fft_{l}"] = _lfm(sd, f"input_fft.{l}")
+        params[f"input_fft_post_{l}"] = _lfm(sd, f"input_fft_post.{l}")
+
+    params["mask_refine"] = {
+        name: _conv(sd, f"mask_refine.{name}")
+        for name in ("conv1_1div8", "conv2_1div8", "conv1_1div4",
+                     "conv2_1div4", "out_conv")
+    }
+
+    tr: Dict = {
+        "level_embed": _t(sd["transformer.level_embed"]),
+        "reference_points": _linear(sd, "transformer.reference_points"),
+    }
+    for i in range(enc_layers):
+        lp = f"transformer.encoder.layers.{i}"
+        tr[f"encoder_layer_{i}"] = {
+            "self_attn": _msda_module(sd, f"{lp}.self_attn"),
+            "norm1": _ln(sd, f"{lp}.norm1"),
+            "norm2": _ln(sd, f"{lp}.norm2"),
+            "linear1": _linear(sd, f"{lp}.linear1"),
+            "linear2": _linear(sd, f"{lp}.linear2"),
+        }
+    for i in range(dec_layers):
+        lp = f"transformer.decoder.layers.{i}"
+        tr[f"decoder_layer_{i}"] = {
+            "cross_attn": _msda_module(sd, f"{lp}.cross_attn"),
+            "self_attn": _mha(sd, f"{lp}.self_attn"),
+            "norm1": _ln(sd, f"{lp}.norm1"),
+            "norm2": _ln(sd, f"{lp}.norm2"),
+            "norm3": _ln(sd, f"{lp}.norm3"),
+            "linear1": _linear(sd, f"{lp}.linear1"),
+            "linear2": _linear(sd, f"{lp}.linear2"),
+        }
+        if with_box_refine:
+            tr[f"bbox_embed_{i}"] = _mlp(sd, f"bbox_embed.{i}", 3)
+    params["transformer"] = tr
+
+    for i in range(dec_layers):
+        params[f"class_embed_{i}"] = _linear(sd, f"class_embed.{i}")
+
+    return params, frozen
+
+
 def drop_class_head(params: Dict) -> Dict:
     """Finetune surgery: drop class_embed heads (utils.py:5-13, main.py:141-147)."""
     return {k: v for k, v in params.items() if not k.startswith("class_embed")}

@@ -1,23 +1,55 @@
-"""Pallas MSDA kernel vs the XLA production op (interpret mode on CPU)."""
+"""MSDA fast paths vs the XLA gather op: separable matmul formulation,
+Pallas kernel (interpret mode on CPU), and the custom-VJP dispatcher."""
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from ocpg_tpu.ops import ms_deform_attn
+from ocpg_tpu.ops.ms_deform_attn import ms_deform_attn_fast, ms_deform_attn_separable
 from ocpg_tpu.ops.ms_deform_attn_pallas import ms_deform_attn_pallas
 
 SHAPES = ((6, 4), (3, 2))
 
 
-def test_pallas_matches_xla_interpret(rng):
-    n, m, d, lq, p = 2, 4, 8, 5, 3
+def _inputs(rng, n=2, m=4, d=8, lq=5, p=3):
     s = sum(h * w for h, w in SHAPES)
     value = jnp.asarray(rng.random((n, s, m, d)), jnp.float32)
     locs = jnp.asarray(rng.random((n, lq, m, len(SHAPES), p, 2)) * 1.2 - 0.1, jnp.float32)
     attn = jnp.asarray(rng.random((n, lq, m, len(SHAPES), p)), jnp.float32)
     attn = attn / attn.sum(axis=(3, 4), keepdims=True)
+    return value, locs, attn
 
+
+def test_separable_matches_gather(rng):
+    value, locs, attn = _inputs(rng)
     expected = ms_deform_attn(value, SHAPES, locs, attn)
-    got = ms_deform_attn_pallas(value, SHAPES, locs, attn, 8, True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=1e-5, atol=1e-6)
+    got = ms_deform_attn_separable(value, SHAPES, locs, attn)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_matches_gather_interpret(rng):
+    value, locs, attn = _inputs(rng)
+    expected = ms_deform_attn(value, SHAPES, locs, attn)
+    # the kernel's stage-1/2 matmuls run in bf16 -> bf16-level tolerance
+    got = ms_deform_attn_pallas(value, SHAPES, locs, attn, 128, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_fast_dispatcher_grads_match_gather_autodiff(rng):
+    value, locs, attn = _inputs(rng)
+
+    def loss_fast(v, l, a):
+        return (ms_deform_attn_fast(v, SHAPES, l, a, "separable") ** 2).sum()
+
+    def loss_gather(v, l, a):
+        return (ms_deform_attn(v, SHAPES, l, a) ** 2).sum()
+
+    g_fast = jax.grad(loss_fast, argnums=(0, 1, 2))(value, locs, attn)
+    g_ref = jax.grad(loss_gather, argnums=(0, 1, 2))(value, locs, attn)
+    for a, b in zip(g_fast, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
