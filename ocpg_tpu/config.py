@@ -23,6 +23,7 @@ class OCPGConfig:
     text_heads: int = 12
     text_ffn: int = 3072
     text_vocab: int = 50265
+    text_max_pos: int = 514
     dilation: bool = False
     num_feature_levels: int = 4
     freeze_text_encoder: bool = True

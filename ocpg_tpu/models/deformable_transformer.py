@@ -140,13 +140,13 @@ class EncoderLayer(nn.Module):
             dtype=self.dtype, msda_impl=self.msda_impl, name="self_attn",
         )(src + pos, reference_points, src, spatial_shapes, padding_mask)
         src = src + nn.Dropout(self.dropout)(src2, deterministic=deterministic)
-        src = nn.LayerNorm(dtype=self.dtype, name="norm1")(src)
+        src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src)
 
         ffn = nn.Dense(self.d_ffn, dtype=self.dtype, kernel_init=xavier_uniform, name="linear1")(src)
         ffn = nn.Dropout(self.dropout)(jax.nn.relu(ffn), deterministic=deterministic)
         ffn = nn.Dense(self.d_model, dtype=self.dtype, kernel_init=xavier_uniform, name="linear2")(ffn)
         src = src + nn.Dropout(self.dropout)(ffn, deterministic=deterministic)
-        return nn.LayerNorm(dtype=self.dtype, name="norm2")(src)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(src)
 
 
 class DecoderLayer(nn.Module):
@@ -166,20 +166,20 @@ class DecoderLayer(nn.Module):
         tgt2 = MultiheadAttention(self.n_heads, self.dropout, dtype=self.dtype,
                                   name="self_attn")(q, q, tgt, deterministic=deterministic)
         tgt = tgt + nn.Dropout(self.dropout)(tgt2, deterministic=deterministic)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="norm2")(tgt)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(tgt)
 
         tgt2, locations, attn = MSDeformAttnModule(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
             dtype=self.dtype, msda_impl=self.msda_impl, name="cross_attn",
         )(tgt + query_pos, reference_points, src, spatial_shapes, src_padding_mask)
         tgt = tgt + nn.Dropout(self.dropout)(tgt2, deterministic=deterministic)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(tgt)
 
         ffn = nn.Dense(self.d_ffn, dtype=self.dtype, kernel_init=xavier_uniform, name="linear1")(tgt)
         ffn = nn.Dropout(self.dropout)(jax.nn.relu(ffn), deterministic=deterministic)
         ffn = nn.Dense(self.d_model, dtype=self.dtype, kernel_init=xavier_uniform, name="linear2")(ffn)
         tgt = tgt + nn.Dropout(self.dropout)(ffn, deterministic=deterministic)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="norm3")(tgt)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(tgt)
         return tgt, locations, attn
 
 

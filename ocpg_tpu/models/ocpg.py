@@ -120,6 +120,7 @@ class OCPG(nn.Module):
             vocab_size=cfg.text_vocab, hidden_size=cfg.text_hidden,
             num_layers=cfg.text_layers, num_heads=cfg.text_heads,
             intermediate_size=cfg.text_ffn,
+            max_position_embeddings=cfg.text_max_pos,
         )
         text_feat, text_pooled = RobertaEncoder(rcfg, dtype=dtype,
                                                 name="text_encoder")(text_ids, text_attn_mask)
@@ -154,7 +155,7 @@ class OCPG(nn.Module):
                                    (src.shape[1], src.shape[2]))[..., 0] > 0.5
                 )
                 pos_l = position_embedding_sine_2d(lvl_mask, num_pos_feats=hidden // 2).astype(dtype)
-            src = nn.GroupNorm(num_groups=32, name=f"input_proj_gn_{l}")(src)
+            src = nn.GroupNorm(num_groups=32, epsilon=1e-5, name=f"input_proj_gn_{l}")(src)
 
             n_, h_, w_, c_ = src.shape
             src, high_filter = LFM(hidden, sigma=7.0, name=f"input_fft_{l}")(src, high_filter)
