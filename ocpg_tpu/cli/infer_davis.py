@@ -1,10 +1,12 @@
 """Ref-DAVIS17 inference: per-annotator palette PNG masks.
 
 Reference: /root/reference/inference_davis.py.  The reference spawns one
-Python process per GPU (:97-109) and caps clips at 36 frames because of the
-CUDA im2col_step (:167,198-199).  Here a single program iterates videos (the
-device mesh can shard videos as batch), and the clip length is a memory knob
-only — XLA has no 36-frame cap.
+Python process + model replica per GPU and shards videos over them (:97-109,
+131), capping clips at 36 frames because of the CUDA im2col_step (:167,
+198-199).  Here every (annotator, object, chunk) clip of a video becomes one
+request to `engine.infer.ClipInferenceEngine`, which batches requests across
+the device mesh as ONE SPMD program with bucketed static canvases — at most
+len(buckets) XLA compiles for the whole split, all chips busy.
 
 Flow per video (reference :164-271): expressions are interleaved over 4
 annotators (i = obj_id * 4 + anno_id); per object the model's best-query
@@ -16,7 +18,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 from pathlib import Path
 
 import numpy as np
@@ -54,19 +55,39 @@ def load_frames(img_folder: Path, video: str, frame_names, resize, max_size):
     return np.stack(imgs), origin_size
 
 
-def main():
-    args = get_args()
+def init_engine(cfg, args, example_frames, tokenizer):
+    """Build model, init/restore params, wrap in a ClipInferenceEngine."""
     import jax
     import jax.numpy as jnp
+
+    from ..engine.infer import ClipInferenceEngine
+    from ..models import build_model
+
+    model, *_ = build_model(cfg)
+    t, h, w = example_frames.shape[:3]
+    ids, attn = tokenizer(["init"])
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(example_frames[None]),
+        jnp.zeros((1, t, h, w), bool), jnp.asarray(ids), jnp.asarray(attn),
+        jnp.asarray([[h, w]], jnp.int32), train=False)
+    if args.checkpoint:
+        from ..engine.checkpoint import load_params
+
+        params = load_params(args.checkpoint, params)
+    return model, ClipInferenceEngine(model, params, clip_len=args.clip_len)
+
+
+def main():
+    args = get_args()
     from PIL import Image
+    import jax.numpy as jnp
 
     from ..config import OCPGConfig
-    from ..models import build_model
+    from ..engine.infer import InferRequest
     from ..models.text_encoder import SimpleTokenizer
     from ..ops.image import bilinear_resize
 
     cfg = OCPGConfig(backbone=args.backbone, dataset_file="davis")
-    model, *_ = build_model(cfg)
     tokenizer = SimpleTokenizer(args.tokenizer_path)
 
     root = Path(args.davis_path)
@@ -83,51 +104,47 @@ def main():
         palette = Image.open(png).getpalette()
         break
 
-    params = None
-
-    @jax.jit
-    def forward(params, samples, samples_mask, ids, attn, sizes):
-        out = model.apply(params, samples, samples_mask, ids, attn, sizes, train=False)
-        return out["pred_masks"], out["pred_logits"]
-
+    engine = None
     for video, vdata in data.items():
         frames = vdata["frames"]
         expressions = vdata["expressions"]
         exp_list = list(expressions.keys())
         num_obj = len(exp_list) // 4
 
+        # gather every (annotator, object, chunk) request of this video
+        requests, meta = [], []
+        origin_size = None
+        chunks = [frames[s:s + args.clip_len]
+                  for s in range(0, len(frames), args.clip_len)]
+        clip_cache = {}
+        for ci, clip_names in enumerate(chunks):
+            clip_cache[ci], origin_size = load_frames(
+                img_folder, video, clip_names, args.resize, args.max_size)
         for anno_id in range(4):
-            anno_masks = []
             for obj_id in range(num_obj):
                 exp = expressions[exp_list[obj_id * 4 + anno_id]]["exp"]
-                all_masks = []
-                for start in range(0, len(frames), args.clip_len):
-                    clip_names = frames[start:start + args.clip_len]
-                    imgs, origin_size = load_frames(img_folder, video, clip_names,
-                                                    args.resize, args.max_size)
-                    t, h, w = imgs.shape[:3]
-                    ids, attn = tokenizer([" ".join(exp.lower().split())])
-                    if params is None:
-                        params = model.init(
-                            jax.random.PRNGKey(0), jnp.asarray(imgs[None]),
-                            jnp.zeros((1, t, h, w), bool), jnp.asarray(ids),
-                            jnp.asarray(attn), jnp.asarray([[h, w]], jnp.int32),
-                            train=False)
-                        if args.checkpoint:
-                            from ..engine.checkpoint import load_params
+                ids, attn = tokenizer([" ".join(exp.lower().split())])
+                for ci in range(len(chunks)):
+                    requests.append(InferRequest(clip_cache[ci], ids[0], attn[0]))
+                    meta.append((anno_id, obj_id, ci))
 
-                            params = load_params(args.checkpoint, params)
-                    masks, logits = forward(
-                        params, jnp.asarray(imgs[None]), jnp.zeros((1, t, h, w), bool),
-                        jnp.asarray(ids), jnp.asarray(attn),
-                        jnp.asarray([[h, w]], jnp.int32))
-                    m = np.asarray(masks)[0, :, 0]          # (t, H, W) logits
-                    m = np.asarray(bilinear_resize(
-                        jnp.asarray(m[..., None]), tuple(origin_size),
-                        align_corners=False))[..., 0]
-                    all_masks.append(1.0 / (1.0 + np.exp(-m)))
-                anno_masks.append(np.concatenate(all_masks, axis=0))
+        if engine is None:
+            _, engine = init_engine(cfg, args, clip_cache[0], tokenizer)
+        results = engine.run(requests)
 
+        # reassemble: per annotator x object, concatenate chunks; resize + sigmoid
+        per = {}
+        for (anno_id, obj_id, ci), m in zip(meta, results):
+            m = np.asarray(bilinear_resize(jnp.asarray(m[..., None]),
+                                           tuple(origin_size),
+                                           align_corners=False))[..., 0]
+            per.setdefault((anno_id, obj_id), {})[ci] = 1.0 / (1.0 + np.exp(-m))
+
+        for anno_id in range(4):
+            anno_masks = [
+                np.concatenate([per[(anno_id, o)][ci] for ci in range(len(chunks))], 0)
+                for o in range(num_obj)
+            ]
             anno = np.stack(anno_masks)                      # (num_obj, T, H, W)
             anno[anno < 0.3] = 0.0
             bg = np.full((1,) + anno.shape[1:], 0.1, anno.dtype)
@@ -140,7 +157,8 @@ def main():
                 if palette is not None:
                     img.putpalette(palette)
                 img.save(out_dir / f"{fi:05d}.png")
-        print(f"done {video}", flush=True)
+        print(f"done {video} ({len(requests)} clips, "
+              f"{engine.compile_count} compiled programs)", flush=True)
 
 
 if __name__ == "__main__":

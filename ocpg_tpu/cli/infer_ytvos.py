@@ -1,12 +1,15 @@
 """Ref-YouTube-VOS inference: per-expression binary PNG masks.
 
-Reference: /root/reference/inference_ytvos.py — whole video in one forward
-(:192-213), per-expression binary masks saved as PNGs for server-side J&F
-scoring (:230-241).  (Note: the reference call-site passes a stale 4th arg to
-OCPG.forward, inference_ytvos.py:213 — fixed by construction here.)
+Reference: /root/reference/inference_ytvos.py — videos sharded over GPUs via
+mp.Process (:91-127), whole video in one forward (:192-213), per-expression
+binary masks saved as PNGs for server-side J&F scoring (:230-241).  (The
+reference call-site passes a stale 4th arg to OCPG.forward,
+inference_ytvos.py:213 — fixed by construction here.)
 
-Chunked forward keeps static shapes; chunks are a memory knob, not a
-correctness cap.
+Here each (expression, chunk) is one request to the mesh-sharded
+ClipInferenceEngine: static canvas buckets + fixed chunk length mean the full
+split compiles at most len(buckets) programs; chunking is a memory knob, not
+a correctness cap.
 """
 
 from __future__ import annotations
@@ -35,18 +38,16 @@ def get_args():
 
 def main():
     args = get_args()
-    import jax
-    import jax.numpy as jnp
     from PIL import Image
+    import jax.numpy as jnp
 
     from ..config import OCPGConfig
-    from ..models import build_model
+    from ..engine.infer import InferRequest
     from ..models.text_encoder import SimpleTokenizer
     from ..ops.image import bilinear_resize
-    from .infer_davis import load_frames
+    from .infer_davis import init_engine, load_frames
 
     cfg = OCPGConfig(backbone=args.backbone, dataset_file="ytvos")
-    model, *_ = build_model(cfg)
     tokenizer = SimpleTokenizer(args.tokenizer_path)
 
     root = Path(args.ytvos_path)
@@ -55,49 +56,44 @@ def main():
     img_folder = root / args.split / "JPEGImages"
     save_prefix = Path(args.output_dir) / "Annotations"
 
-    params = None
-
-    @jax.jit
-    def forward(params, samples, samples_mask, ids, attn, sizes):
-        return model.apply(params, samples, samples_mask, ids, attn, sizes,
-                           train=False)["pred_masks"]
-
+    engine = None
     for video, vdata in data.items():
         frames = vdata["frames"]
+        chunks = [frames[s:s + args.clip_len]
+                  for s in range(0, len(frames), args.clip_len)]
+        clip_cache = {}
+        origin_size = None
+        for ci, clip_names in enumerate(chunks):
+            clip_cache[ci], origin_size = load_frames(
+                img_folder, video, clip_names, args.resize, args.max_size)
+        if engine is None:
+            _, engine = init_engine(cfg, args, clip_cache[0], tokenizer)
+
+        requests, meta = [], []
         for exp_id, ed in vdata["expressions"].items():
             exp = " ".join(ed["exp"].lower().split())
-            all_masks = []
-            for start in range(0, len(frames), args.clip_len):
-                clip_names = frames[start:start + args.clip_len]
-                imgs, origin_size = load_frames(img_folder, video, clip_names,
-                                                args.resize, args.max_size)
-                t, h, w = imgs.shape[:3]
-                ids, attn = tokenizer([exp])
-                if params is None:
-                    params = model.init(
-                        jax.random.PRNGKey(0), jnp.asarray(imgs[None]),
-                        jnp.zeros((1, t, h, w), bool), jnp.asarray(ids),
-                        jnp.asarray(attn), jnp.asarray([[h, w]], jnp.int32),
-                        train=False)
-                    if args.checkpoint:
-                        from ..engine.checkpoint import load_params
+            ids, attn = tokenizer([exp])
+            for ci in range(len(chunks)):
+                requests.append(InferRequest(clip_cache[ci], ids[0], attn[0]))
+                meta.append((exp_id, ci))
+        results = engine.run(requests)
 
-                        params = load_params(args.checkpoint, params)
-                masks = forward(params, jnp.asarray(imgs[None]),
-                                jnp.zeros((1, t, h, w), bool), jnp.asarray(ids),
-                                jnp.asarray(attn), jnp.asarray([[h, w]], jnp.int32))
-                m = np.asarray(masks)[0, :, 0]
-                m = np.asarray(bilinear_resize(jnp.asarray(m[..., None]),
-                                               tuple(origin_size),
-                                               align_corners=False))[..., 0]
-                all_masks.append((1.0 / (1.0 + np.exp(-m))) > args.threshold)
-            video_masks = np.concatenate(all_masks, axis=0).astype(np.uint8) * 255
+        per = {}
+        for (exp_id, ci), m in zip(meta, results):
+            m = np.asarray(bilinear_resize(jnp.asarray(m[..., None]),
+                                           tuple(origin_size),
+                                           align_corners=False))[..., 0]
+            per.setdefault(exp_id, {})[ci] = (1.0 / (1.0 + np.exp(-m))) > args.threshold
 
+        for exp_id, by_chunk in per.items():
+            video_masks = np.concatenate(
+                [by_chunk[ci] for ci in range(len(chunks))], 0).astype(np.uint8) * 255
             out_dir = save_prefix / video / exp_id
             out_dir.mkdir(parents=True, exist_ok=True)
             for name, frame_mask in zip(frames, video_masks):
                 Image.fromarray(frame_mask).save(out_dir / f"{name}.png")
-        print(f"done {video}", flush=True)
+        print(f"done {video} ({len(requests)} clips, "
+              f"{engine.compile_count} compiled programs)", flush=True)
 
 
 if __name__ == "__main__":
