@@ -51,9 +51,18 @@ class ClipLoader:
         for _ in range(20):
             rec = self.dataset.get_clip(idx, rng)
             clip = rec.clip
+            orig_size = clip.size                      # dataset-native (h, w)
+            orig_masks = None if self.train else clip.masks.astype(np.uint8)
             clip = train_transform(clip) if self.train else val_transform(clip)
             if clip.valid.any() or not self.train:
                 entry = pad_to_canvas(clip, self.canvas)
+                entry["targets"]["orig_size"] = np.asarray(orig_size, np.int32)
+                if orig_masks is not None:
+                    # native-resolution GT for eval (the reference scores
+                    # predictions against dataset-native COCO annotations,
+                    # postprocessors.py:31-40 + engine.py:170-190); ragged, so
+                    # carried outside the stacked target arrays
+                    entry["orig_masks"] = orig_masks
                 if rec.valid_indices is not None:
                     entry["valid_indices"] = np.asarray(rec.valid_indices, np.int32)
                 return entry
@@ -112,4 +121,6 @@ class ClipLoader:
         }
         if "valid_indices" in entries[0]:
             batch["valid_indices"] = np.stack([e["valid_indices"] for e in entries])
+        if "orig_masks" in entries[0]:
+            batch["orig_masks"] = [e["orig_masks"] for e in entries]  # ragged
         return batch

@@ -40,12 +40,17 @@ def evaluate_a2d(model, params, loader, dataset_name: str = "a2d",
         logits = np.asarray(logits)
         masks = np.asarray(masks)
         sizes = np.asarray(batch["targets"]["size"])
+        # dataset-native resolutions: the reference resizes predictions to the
+        # original size before RLE (postprocessors.py:31-40) and scores against
+        # native COCO annotations (engine.py:170-190)
+        orig_sizes = np.asarray(batch["targets"].get("orig_size", sizes))
         results = a2d_postprocess(
             logits, masks,
             resized_sizes=[tuple(s) for s in sizes],
-            orig_sizes=[tuple(s) for s in sizes],
+            orig_sizes=[tuple(s) for s in orig_sizes],
             invert_masks=invert_masks,
         )
+        orig_masks = batch.get("orig_masks")
         gt_masks = np.asarray(batch["targets"]["masks"])
         vi_np = np.asarray(vi)
         for i, res in enumerate(results):
@@ -58,9 +63,13 @@ def evaluate_a2d(model, params, loader, dataset_name: str = "a2d",
                     "rle": res["rle_masks"][q],
                 })
             t_annot = 0 if gt_masks.shape[1] == 1 else int(vi_np[i])
-            h, w = sizes[i]
+            if orig_masks is not None:
+                gt = orig_masks[i][min(t_annot, orig_masks[i].shape[0] - 1)]
+            else:
+                h, w = sizes[i]
+                gt = gt_masks[i, t_annot, :h, :w]
             ground_truths.append({
                 "image_id": image_id,
-                "rle": rle_encode(gt_masks[i, t_annot, :h, :w].astype(np.uint8)),
+                "rle": rle_encode(gt.astype(np.uint8)),
             })
     return _metrics(predictions, ground_truths)

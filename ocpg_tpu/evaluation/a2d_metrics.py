@@ -47,13 +47,14 @@ def evaluate_a2d(predictions: List[Dict], ground_truths: List[Dict]) -> Dict[str
 
     ious = []
     inters, unions = 0.0, 0.0
+    eps = 1e-6  # reference compute_mask_iou EPS (a2d_eval.py:26-33)
     for img_id, gts in gt_by_img.items():
         gt_mask = rle_decode(gts[0]["rle"]).astype(bool)
         p = best_by_img.get(img_id)
         pm = rle_decode(p["rle"]).astype(bool) if p is not None else np.zeros_like(gt_mask)
         inter = float((pm & gt_mask).sum())
         union = float((pm | gt_mask).sum())
-        ious.append(inter / union if union > 0 else 0.0)
+        ious.append((inter + eps) / (union + eps))
         inters += inter
         unions += union
     ious = np.asarray(ious)
@@ -65,7 +66,17 @@ def evaluate_a2d(predictions: List[Dict], ground_truths: List[Dict]) -> Dict[str
     for k in (0.5, 0.6, 0.7, 0.8, 0.9):
         out[f"P@{k}"] = float((ious > k).mean()) if len(ious) else 0.0
 
-    # COCO-style AP over IoU thresholds (one category, useCats=0)
+    # COCO-style AP over IoU thresholds (one category, useCats=0,
+    # maxDets=100, area=all) matching COCOeval.accumulate semantics
+    max_dets = 100
+    per_img_count: Dict = {}
+    kept = []
+    for p in preds:                       # preds already score-sorted
+        c = per_img_count.get(p["image_id"], 0)
+        if c < max_dets:
+            kept.append(p)
+            per_img_count[p["image_id"]] = c + 1
+    preds = kept
     aps = []
     ap50 = ap75 = 0.0
     n_gt = len(ground_truths)
@@ -92,10 +103,20 @@ def evaluate_a2d(predictions: List[Dict], ground_truths: List[Dict]) -> Dict[str
         ctp, cfp = np.cumsum(tp), np.cumsum(fp)
         recall = ctp / max(n_gt, 1)
         precision = ctp / np.maximum(ctp + cfp, 1e-9)
-        # precision envelope + 101-point interpolation (COCOeval accumulate)
+        # precision envelope, then COCOeval's step-function lookup: for each
+        # recall point take precision at the FIRST index with recall >= r
+        # (searchsorted left), zero past the last achieved recall — COCOeval
+        # does not linearly interpolate
         for i in range(len(precision) - 1, 0, -1):
             precision[i - 1] = max(precision[i - 1], precision[i])
-        ap = float(np.interp(RECALL_POINTS, recall, precision, left=precision[0] if len(precision) else 0, right=0).mean()) if len(preds) else 0.0
+        if len(preds):
+            inds = np.searchsorted(recall, RECALL_POINTS, side="left")
+            q = np.zeros(len(RECALL_POINTS))
+            valid = inds < len(precision)
+            q[valid] = precision[inds[valid]]
+            ap = float(q.mean())
+        else:
+            ap = 0.0
         aps.append(ap)
         if abs(thr - 0.5) < 1e-6:
             ap50 = ap
