@@ -106,13 +106,46 @@ def convert_roberta(sd: Dict, num_layers: int = 12) -> Dict:
     return out
 
 
-def convert_video_swin(sd: Dict, depths: Tuple[int, ...]) -> Dict:
+def _inflate_bias_table(table: np.ndarray,
+                        window_size: Tuple[int, int, int]) -> np.ndarray:
+    """2D->3D relative-position-bias inflation (reference
+    video_swin_transformer.py:591-608).
+
+    A 2D checkpoint table has ((2*h1-1)*(2*w1-1), nH) rows; the 3D module
+    needs ((2*wt-1)*(2*wh-1)*(2*ww-1), nH) with the temporal offset slowest.
+    The reference bicubic-resizes the (2*h1-1, 2*w1-1) grid to
+    (2*wh-1, 2*ww-1) when it doesn't match, then tiles it (2*wt-1) times.
+    A table already at the 3D size is returned verbatim.
+    """
+    wt, wh, ww = window_size
+    l3 = (2 * wt - 1) * (2 * wh - 1) * (2 * ww - 1)
+    l2 = (2 * wh - 1) * (2 * ww - 1)
+    l1, nh = table.shape
+    if l1 == l3:
+        return table
+    if l1 != l2:
+        import torch
+        import torch.nn.functional as F
+
+        s1 = int(round(l1 ** 0.5))
+        assert s1 * s1 == l1, f"cannot infer 2D grid from table rows {l1}"
+        t = torch.from_numpy(np.ascontiguousarray(table.astype(np.float32)))
+        t = t.permute(1, 0).view(1, nh, s1, s1)
+        t = F.interpolate(t, size=(2 * wh - 1, 2 * ww - 1), mode="bicubic")
+        table = t.view(nh, l2).permute(1, 0).numpy()
+    return np.tile(table, (2 * wt - 1, 1))
+
+
+def convert_video_swin(sd: Dict, depths: Tuple[int, ...],
+                       window_size: Tuple[int, int, int] = (8, 7, 7)) -> Dict:
     """Video-Swin (or 2D Swin Kinetics-inflatable) state_dict -> VideoSwin params.
 
     Accepts either a 3D checkpoint (patch_embed.proj.weight (C,3,1,4,4)) or a
     2D one ((C,3,4,4)); with patch (1,4,4) both collapse to a 2D conv kernel,
     which is exactly the reference's center-inflation for kt=1
-    (video_swin_transformer.py:563-614).
+    (video_swin_transformer.py:563-614).  2D relative-position-bias tables are
+    bicubic-resized + temporally tiled per the reference inflation
+    (:591-608, see _inflate_bias_table).
     """
     sd = {k.replace("backbone.", ""): v for k, v in sd.items()}
     pw = _t(sd["patch_embed.proj.weight"])
@@ -132,8 +165,9 @@ def convert_video_swin(sd: Dict, depths: Tuple[int, ...]) -> Dict:
                 "attn": {
                     "qkv": _linear(sd, f"{lp}.attn.qkv"),
                     "proj": _linear(sd, f"{lp}.attn.proj"),
-                    "relative_position_bias_table": _t(
-                        sd[f"{lp}.attn.relative_position_bias_table"]),
+                    "relative_position_bias_table": _inflate_bias_table(
+                        _t(sd[f"{lp}.attn.relative_position_bias_table"]),
+                        window_size),
                 },
                 "mlp_fc1": _linear(sd, f"{lp}.mlp.fc1"),
                 "mlp_fc2": _linear(sd, f"{lp}.mlp.fc2"),
