@@ -33,6 +33,9 @@ def get_args():
     p.add_argument("--output_dir", default="output/pretrain")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--tokenizer_path", default=None)
+    p.add_argument("--no_eval", action="store_true",
+                   help="skip the per-epoch refcoco val evaluation")
+    p.add_argument("--eval_batch_size", type=int, default=2)
     return p.parse_args()
 
 
@@ -65,6 +68,15 @@ def main():
     ]
     dataset = datasets[0] if len(datasets) == 1 else ConcatClipDataset(datasets)
 
+    # per-dataset val tuples, as main_pretrain.py:138-170
+    val_loaders = []
+    if not args.no_eval:
+        for n in names:
+            val_ann = ann_dir / f"instances_{n}_val.json"
+            if val_ann.exists():
+                val_loaders.append((n, RefExpDataset(
+                    Path(args.coco_path) / "train2014", val_ann, num_frames=1)))
+
     tokenizer = SimpleTokenizer(args.tokenizer_path)
     loader = ClipLoader(dataset, cfg.batch_size * jax.device_count(),
                         tokenizer=tokenizer, train=True, seed=cfg.seed)
@@ -91,7 +103,13 @@ def main():
     train_step = jax.jit(make_train_step(model, criterion_cfg, weight_dict, optimizer),
                          donate_argnums=(0,))
 
+    from ..engine.evaluate import evaluate_refexp_loop
+    from ..utils.logging import TensorBoardLogger
+
     logger = JSONLLogger(out_dir / "log.txt")
+    tb = TensorBoardLogger(out_dir / "tb")
+    eval_cfg = cfg.replace(dataset_file="refcoco")  # eval branch selection
+    eval_model, *_ = build_model(eval_cfg)
     for epoch in range(cfg.epochs):
         meter = MetricMeter()
         t0 = time.time()
@@ -100,10 +118,24 @@ def main():
             if i % 50 == 0:
                 vals = {k: float(v) for k, v in metrics.items() if k == "loss"}
                 meter.update(vals)
+                tb.scalars(int(jax.device_get(state.step)), vals)
                 print(f"epoch {epoch} it {i}/{steps_per_epoch} loss={vals['loss']:.4f}",
                       flush=True)
         ckpt.save(int(jax.device_get(state.step)), jax.device_get(state))
-        logger.write({"epoch": epoch, "time_s": time.time() - t0, **meter.averages()})
+        record = {"epoch": epoch, "time_s": time.time() - t0, **meter.averages()}
+        # per-epoch refcoco val (main_pretrain.py:138-170 / engine.py:197-300)
+        params_now = jax.device_get(state.params)
+        for n, val_ds in val_loaders:
+            val_loader = ClipLoader(val_ds, args.eval_batch_size,
+                                    tokenizer=tokenizer, train=False,
+                                    seed=cfg.seed)
+            stats = evaluate_refexp_loop(eval_model, params_now, val_loader)
+            record.update({f"{n}_{k}": v for k, v in stats.items()})
+            tb.scalars(int(jax.device_get(state.step)),
+                       {f"{n}/{k}": v for k, v in stats.items()})
+            print(f"epoch {epoch} [{n}] " +
+                  " ".join(f"{k}={v:.4f}" for k, v in stats.items()), flush=True)
+        logger.write(record)
 
 
 if __name__ == "__main__":

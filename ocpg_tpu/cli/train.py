@@ -41,6 +41,31 @@ def get_args():
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--profile_dir", default=None,
                    help="capture a jax.profiler device trace of steps 10-14")
+    # model / recipe flags (reference opts.py:33-111)
+    p.add_argument("--dilation", action="store_true", help="DC5 backbone")
+    p.add_argument("--unfreeze_text_encoder", action="store_true",
+                   help="train the text encoder (reference default freezes it)")
+    p.add_argument("--freeze_video_encoder", action="store_true")
+    p.add_argument("--use_checkpoint", action="store_true",
+                   help="gradient rematerialisation in swin blocks")
+    p.add_argument("--lr_backbone", type=float, default=None)
+    p.add_argument("--lr_text_encoder", type=float, default=None)
+    p.add_argument("--lr_linear_proj_mult", type=float, default=None)
+    p.add_argument("--lr_drop", type=int, nargs="+", default=None)
+    p.add_argument("--weight_decay", type=float, default=None)
+    p.add_argument("--clip_max_norm", type=float, default=None)
+    p.add_argument("--num_feature_levels", type=int, default=None)
+    p.add_argument("--num_queries", type=int, default=None)
+    p.add_argument("--enc_layers", type=int, default=None)
+    p.add_argument("--dec_layers", type=int, default=None)
+    p.add_argument("--compute_dtype", default=None,
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--msda_impl", default=None,
+                   choices=["auto", "pallas", "separable", "xla"])
+    # observability (reference util/logger.py, engine.py:63-77)
+    p.add_argument("--tb_every", type=int, default=200)
+    p.add_argument("--debug_images_every", type=int, default=0,
+                   help=">0: dump pred/target/weak map PNGs every N iters")
     return p.parse_args()
 
 
@@ -59,13 +84,30 @@ def main():
     from ..parallel import create_mesh, replicate, shard_batch
     from ..utils.logging import JSONLLogger, MetricMeter
 
+    from ..parallel import initialize_distributed, is_main_process
+
+    initialize_distributed()   # multi-host DCN when OCPG_* env is set
+
     cfg = OCPGConfig(
         backbone=args.backbone, dataset_file=args.dataset_file,
         supervision=args.supervision, num_frames=args.num_frames,
         lr=args.lr, batch_size=args.batch_size, seed=args.seed,
+        dilation=args.dilation,
+        freeze_text_encoder=not args.unfreeze_text_encoder,
+        freeze_video_encoder=args.freeze_video_encoder,
+        use_checkpoint=args.use_checkpoint,
     )
     if args.epochs:
         cfg = cfg.replace(epochs=args.epochs)
+    for flag in ("lr_backbone", "lr_text_encoder", "lr_linear_proj_mult",
+                 "weight_decay", "clip_max_norm", "num_feature_levels",
+                 "num_queries", "enc_layers", "dec_layers", "compute_dtype",
+                 "msda_impl"):
+        v = getattr(args, flag)
+        if v is not None:
+            cfg = cfg.replace(**{flag: v})
+    if args.lr_drop is not None:
+        cfg = cfg.replace(lr_drop=tuple(args.lr_drop))
 
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -117,13 +159,29 @@ def main():
     state = replicate(mesh, state)
     train_step = jax.jit(
         make_train_step(model, criterion_cfg, weight_dict, optimizer,
-                        has_valid_indices="valid_indices" in host),
+                        has_valid_indices="valid_indices" in host,
+                        debug_images=args.debug_images_every > 0),
         donate_argnums=(0,),
     )
 
+    from ..utils.logging import TensorBoardLogger
     from ..utils.profiling import StepTimer, trace
 
     logger = JSONLLogger(out_dir / "log.txt")
+    tb = TensorBoardLogger(out_dir / "tb") if is_main_process() else TensorBoardLogger(None)
+    debug_dir = out_dir / "debug_images"
+
+    def dump_debug_images(step_no, pred, batch):
+        """pred/target/weak map PNGs (reference engine.py:63-77)."""
+        import cv2
+
+        debug_dir.mkdir(parents=True, exist_ok=True)
+        tgt = np.asarray(batch["targets"]["masks"])[0, 0]
+        weak = np.asarray(batch["targets"]["weak_masks"])[0, 0]
+        for name, m in (("pred", np.asarray(pred)), ("target", tgt), ("weak", weak)):
+            cv2.imwrite(str(debug_dir / f"{step_no:07d}_{name}.png"),
+                        (np.clip(m, 0, 1) * 255).astype(np.uint8))
+
     for epoch in range(start_epoch, cfg.epochs):
         meter = MetricMeter()
         timer = StepTimer()
@@ -134,8 +192,8 @@ def main():
                 import jax.profiler
 
                 jax.profiler.start_trace(args.profile_dir)
-            batch = shard_batch(mesh, batch)
-            state, metrics = train_step(state, batch)
+            sharded = shard_batch(mesh, batch)
+            state, metrics = train_step(state, sharded)
             if args.profile_dir and epoch == start_epoch and i == 14:
                 jax.tree_util.tree_map(
                     lambda x: x.block_until_ready(), metrics)
@@ -143,6 +201,7 @@ def main():
 
                 jax.profiler.stop_trace()
             timer.step_done()
+            step_no = int(jax.device_get(state.step))
             if i % args.log_every == 0:
                 vals = {k: float(v) for k, v in metrics.items()
                         if k in ("loss", "grad_norm", "loss_ce", "loss_mask",
@@ -150,7 +209,14 @@ def main():
                 meter.update(vals)
                 print(f"epoch {epoch} it {i}/{steps_per_epoch} " +
                       " ".join(f"{k}={v:.4f}" for k, v in vals.items()), flush=True)
-        ckpt.save(int(jax.device_get(state.step)), jax.device_get(state))
+            if args.tb_every and i % args.tb_every == 0:
+                tb.scalars(step_no, {k: float(v) for k, v in metrics.items()
+                                     if np.ndim(v) == 0})
+            if args.debug_images_every and i % args.debug_images_every == 0 \
+                    and is_main_process():
+                dump_debug_images(step_no, metrics["debug_pred"], batch)
+        if is_main_process():
+            ckpt.save(int(jax.device_get(state.step)), jax.device_get(state))
         logger.write({"epoch": epoch, "time_s": time.time() - t0,
                       **timer.averages(), **meter.averages()})
     print("done")

@@ -13,8 +13,9 @@ from typing import Dict, List
 import numpy as np
 
 from ..evaluation.a2d_metrics import evaluate_a2d as _metrics
+from ..evaluation.refexp_metrics import evaluate_refexp as _refexp_metrics
 from ..evaluation.rle import rle_encode
-from ..models.postprocessors import a2d_postprocess
+from ..models.postprocessors import a2d_postprocess, refcoco_postprocess
 
 
 def evaluate_a2d(model, params, loader, dataset_name: str = "a2d",
@@ -73,3 +74,76 @@ def evaluate_a2d(model, params, loader, dataset_name: str = "a2d",
                 "rle": rle_encode(gt.astype(np.uint8)),
             })
     return _metrics(predictions, ground_truths)
+
+
+def evaluate_refexp_loop(model, params, loader) -> Dict[str, float]:
+    """RefCOCO val evaluation: bbox P@k + segm P@K/IoU/mAP.
+
+    Mirrors the reference pretrain eval (`/root/reference/main_pretrain.py:
+    138-170` -> `engine.py:197-300`): PostProcess boxes + PostProcessSegm
+    masks -> CocoEvaluator(bbox+segm) + RefExpEvaluator.  Here: native
+    referring P@k for boxes (refexp_metrics) and the pycocotools-free
+    COCO-style segm metrics (a2d_metrics), both at dataset-native resolution.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def forward(params, samples, samples_mask, ids, attn, sizes):
+        out = model.apply(params, samples, samples_mask, ids, attn, sizes,
+                          train=False)
+        return out["pred_logits"], out["pred_boxes"], out["pred_masks"]
+
+    box_preds: List[Dict] = []
+    box_gts: List[Dict] = []
+    segm_preds: List[Dict] = []
+    segm_gts: List[Dict] = []
+    img_counter = 0
+    for batch in loader.epoch(0):
+        logits, boxes, masks = forward(
+            params, jnp.asarray(batch["samples"]), jnp.asarray(batch["samples_mask"]),
+            jnp.asarray(batch["text_ids"]), jnp.asarray(batch["text_mask"]),
+            jnp.asarray(batch["targets"]["size"]))
+        logits, boxes, masks = map(np.asarray, (logits, boxes, masks))
+        sizes = np.asarray(batch["targets"]["size"])
+        orig_sizes = np.asarray(batch["targets"].get("orig_size", sizes))
+        box_results = refcoco_postprocess(logits, boxes,
+                                          [tuple(s) for s in orig_sizes])
+        segm_results = a2d_postprocess(
+            logits, masks, [tuple(s) for s in sizes],
+            [tuple(s) for s in orig_sizes])
+        gt_boxes = np.asarray(batch["targets"]["boxes"])     # normalized cxcywh
+        orig_masks = batch.get("orig_masks")
+        gt_masks = np.asarray(batch["targets"]["masks"])
+        for i in range(len(box_results)):
+            image_id = img_counter
+            img_counter += 1
+            box_preds.append({
+                "image_id": image_id,
+                "boxes": box_results[i]["boxes"],
+                "scores": box_results[i]["scores"],
+            })
+            oh, ow = orig_sizes[i]
+            cx, cy, w, h = gt_boxes[i, 0]
+            box_gts.append({
+                "image_id": image_id,
+                "box": np.asarray([(cx - w / 2) * ow, (cy - h / 2) * oh,
+                                   (cx + w / 2) * ow, (cy + h / 2) * oh],
+                                  np.float32),
+            })
+            for q in range(len(segm_results[i]["scores"])):
+                segm_preds.append({
+                    "image_id": image_id,
+                    "score": float(segm_results[i]["scores"][q]),
+                    "rle": segm_results[i]["rle_masks"][q],
+                })
+            if orig_masks is not None:
+                gt = orig_masks[i][0]
+            else:
+                hh, ww = sizes[i]
+                gt = gt_masks[i, 0, :hh, :ww]
+            segm_gts.append({"image_id": image_id,
+                             "rle": rle_encode(gt.astype(np.uint8))})
+    out = {f"bbox_{k}": v for k, v in _refexp_metrics(box_preds, box_gts).items()}
+    out.update({f"segm_{k}": v for k, v in _metrics(segm_preds, segm_gts).items()})
+    return out

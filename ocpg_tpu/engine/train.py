@@ -47,12 +47,15 @@ def make_train_step(
     weight_dict: Dict[str, float],
     optimizer: optax.GradientTransformation,
     has_valid_indices: bool = False,
+    debug_images: bool = False,
 ) -> Callable[[TrainState, Dict[str, Array]], Tuple[TrainState, Dict[str, Array]]]:
     """Returns a jittable (state, batch) -> (state, metrics) step.
 
     batch keys: samples (B,T,H,W,3), samples_mask, text_ids, text_mask,
     sizes, targets{labels, boxes, valid, masks, weights, weak_masks, size},
-    and optionally valid_indices.
+    and optionally valid_indices.  With debug_images=True the metrics carry
+    the first sample's predicted/target/weak maps for the periodic image
+    dumps (reference engine.py:63-77).
     """
 
     def loss_fn(variables, batch, step, dropout_rng):
@@ -68,6 +71,10 @@ def make_train_step(
         )
         total, losses = compute_criterion(criterion_cfg, weight_dict, out,
                                           batch["targets"], step)
+        if debug_images:
+            losses = dict(losses)
+            losses["debug_pred"] = jax.nn.sigmoid(
+                out["pred_masks"][0, 0].astype(jnp.float32))
         return total, losses
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, Array]]:

@@ -145,3 +145,58 @@ def test_refexp_metrics():
     preds[0]["scores"] = np.array([0.9, 0.2])
     out = evaluate_refexp(preds, gts)
     assert out["P@1"] == 0.0 and out["P@5"] == 1.0
+
+
+def test_evaluate_refexp_loop_smoke():
+    """RefCOCO eval loop end-to-end on a fake loader (pretrain eval path,
+    reference main_pretrain.py:138-170 / engine.py:197-300)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ocpg_tpu.engine.evaluate import evaluate_refexp_loop
+    from ocpg_tpu.models import build_model
+
+    cfg = OCPGConfig(
+        backbone="resnet50", enc_layers=1, dec_layers=2, dim_feedforward=64,
+        num_queries=5, num_frames=1, compute_dtype="float32",
+        dataset_file="refcoco",
+        text_layers=2, text_hidden=128, text_heads=4, text_ffn=256,
+        text_vocab=2048,
+    )
+    model, *_ = build_model(cfg)
+    rng = np.random.default_rng(0)
+    b, t, h, w, lt = 1, 1, 64, 64, 8
+    gt_mask = np.zeros((b, t, h, w), np.float32)
+    gt_mask[:, :, 10:40, 10:50] = 1.0
+    batch = {
+        "samples": np.asarray(rng.standard_normal((b, t, h, w, 3)), np.float32),
+        "samples_mask": np.zeros((b, t, h, w), bool),
+        "text_ids": np.asarray(rng.integers(4, 1000, (b, lt)), np.int32),
+        "text_mask": np.ones((b, lt), np.int32),
+        "targets": {
+            "labels": np.zeros((b, t), np.int32),
+            "boxes": np.tile(np.asarray([0.45, 0.4, 0.6, 0.45], np.float32), (b, t, 1)),
+            "valid": np.ones((b, t), np.int32),
+            "masks": gt_mask,
+            "weights": gt_mask.copy(),
+            "weak_masks": gt_mask.copy(),
+            "size": np.tile(np.asarray([[h, w]], np.int32), (b, 1)),
+            "orig_size": np.tile(np.asarray([[128, 128]], np.int32), (b, 1)),
+        },
+        "orig_masks": [np.zeros((1, 128, 128), np.uint8)],
+    }
+    batch["orig_masks"][0][:, 20:80, 20:100] = 1
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(batch["samples"]),
+        jnp.asarray(batch["samples_mask"]), jnp.asarray(batch["text_ids"]),
+        jnp.asarray(batch["text_mask"]), jnp.asarray(batch["targets"]["size"]),
+        train=False)
+
+    class FakeLoader:
+        def epoch(self, _):
+            yield batch
+
+    out = evaluate_refexp_loop(model, params, FakeLoader())
+    for key in ("bbox_P@1", "segm_mAP 0.5:0.95", "segm_overall_iou"):
+        assert key in out, out.keys()
+        assert np.isfinite(out[key])
