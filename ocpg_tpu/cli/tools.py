@@ -23,25 +23,21 @@ from pathlib import Path
 
 
 def refexp_to_coco(refer_root: str, dataset: str, split_by: str, output: str):
-    root = Path(refer_root) / dataset
-    with open(root / f"refs({split_by}).p", "rb") as f:
-        refs = pickle.load(f)
-    with open(root / "instances.json") as f:
-        instances = json.load(f)
-    anns_by_id = {a["id"]: a for a in instances["annotations"]}
-    imgs_by_id = {im["id"]: im for im in instances["images"]}
+    from ..data.refer import REFER
+
+    refer = REFER(refer_root, dataset, split_by)
 
     out_dir = Path(output)
     out_dir.mkdir(parents=True, exist_ok=True)
     for split in ("train", "val", "testA", "testB", "test"):
-        split_refs = [r for r in refs if r["split"] == split]
+        split_refs = refer.loadRefs(refer.getRefIds(split=split))
         if not split_refs:
             continue
         images, annotations = [], []
         next_img_id = 0
         for r in split_refs:
-            ann = anns_by_id[r["ann_id"]]
-            im = imgs_by_id[r["image_id"]]
+            ann = refer.refToAnn[r["ref_id"]]
+            im = refer.Imgs[r["image_id"]]
             for sent in r["sentences"]:
                 images.append({
                     "id": next_img_id,
@@ -61,7 +57,7 @@ def refexp_to_coco(refer_root: str, dataset: str, split_by: str, output: str):
                 })
                 next_img_id += 1
         out = {"images": images, "annotations": annotations,
-               "categories": instances.get("categories", [])}
+               "categories": refer.data["categories"]}
         path = out_dir / f"instances_{dataset}_{split}.json"
         with open(path, "w") as f:
             json.dump(out, f)

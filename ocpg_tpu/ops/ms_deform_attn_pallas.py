@@ -56,8 +56,8 @@ def _hat(center: Array, frac: Array, grid: Array) -> Array:
             + jnp.maximum(0.0, 1.0 - jnp.abs(c + 1.0 - grid)) * f)
 
 
-def _msda_kernel(levels, d, tile, tiles_per_chunk,
-                 x0_ref, dx_ref, y0_ref, dy_ref, aw_ref, *rest):
+def _msda_kernel(levels, d, p, tile, tiles_per_chunk,
+                 x_ref, y_ref, aw_ref, *rest):
     nl = len(levels)
     value_refs = rest[:nl]
     rep_refs = rest[nl:2 * nl]
@@ -68,18 +68,18 @@ def _msda_kernel(levels, d, tile, tiles_per_chunk,
         q0 = pl.multiple_of(j * tile, tile)
         prods = []
         for l, (h, w) in enumerate(levels):
-            x0 = x0_ref[0, l, pl.ds(q0, tile)]
-            dx = dx_ref[0, l, pl.ds(q0, tile)]
-            y0 = y0_ref[0, l, pl.ds(q0, tile)]
-            dy = dy_ref[0, l, pl.ds(q0, tile)]
+            x = x_ref[0, l, pl.ds(q0, tile)]
+            y = y_ref[0, l, pl.ds(q0, tile)]
             aw = aw_ref[0, l, pl.ds(q0, tile)]
+            x0 = jnp.floor(x)
+            y0 = jnp.floor(y)
             iw = jax.lax.broadcasted_iota(jnp.int32, (tile, w), 1).astype(jnp.float32)
-            cx = _hat(x0, dx, iw)                                   # (tile, W)
+            cx = _hat(x0, x - x0, iw)                               # (tile, W)
             a = jnp.dot(cx.astype(jnp.bfloat16), value_refs[l][0],
                         preferred_element_type=jnp.float32
                         ).astype(jnp.bfloat16)                      # (tile, D*H)
             ih = jax.lax.broadcasted_iota(jnp.int32, (tile, h), 1).astype(jnp.float32)
-            ry = (_hat(y0, dy, ih) * aw[:, None]).astype(jnp.bfloat16)  # (tile, H)
+            ry = (_hat(y0, y - y0, ih) * aw[:, None]).astype(jnp.bfloat16)  # (tile, H)
             ryx = jnp.dot(ry, rep_refs[l][...],
                           preferred_element_type=jnp.float32
                           ).astype(jnp.bfloat16)                    # (tile, D*H)
@@ -90,7 +90,9 @@ def _msda_kernel(levels, d, tile, tiles_per_chunk,
         acc = out[:, :d]
         for l in range(1, nl):
             acc = acc + out[:, l * d:(l + 1) * d]
-        out_ref[0, pl.ds(q0, tile), :] = acc
+        # rows are (query, point) with the point index fastest: reduce P here
+        accp = acc.reshape(tile // p, p, d).sum(axis=1)
+        out_ref[0, pl.ds(q0 // p, tile // p), :] = accp
         return carry
 
     jax.lax.fori_loop(0, tiles_per_chunk, tile_body, 0)
@@ -151,19 +153,23 @@ def ms_deform_attn_pallas(
     hs = jnp.asarray([h for h, _ in spatial_shapes], jnp.float32)
     x = loc[..., 0] * ws[None, None, None, :, None] - 0.5     # (N,Lq,M,L,P)
     y = loc[..., 1] * hs[None, None, None, :, None] - 0.5
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
 
-    tile_q = min(tile_q, max(128, -(-lqp // 128) * 128))
+    # tiles hold whole (query, point) groups for the in-kernel P-sum and stay
+    # sublane-aligned on both the (tile) input rows and the (tile//p) output
+    # rows: the tile unit is lcm(128, p)
+    import math
+
+    unit = 128 * p // math.gcd(128, p)
+    tile_q = max(unit, (min(tile_q, -(-lqp // unit) * unit) // unit) * unit)
     pad = (-lqp) % tile_q
 
     def fold_pad(a):  # (N, Lq, M, L, P) -> (NM, L, LQP [+pad])
         a = a.transpose(0, 2, 3, 1, 4).reshape(nm, l, lqp)
         return jnp.pad(a, ((0, 0), (0, 0), (0, pad))) if pad else a
 
-    x0f, dxf = fold_pad(x0), fold_pad(x - x0)
-    y0f, dyf = fold_pad(y0), fold_pad(y - y0)
-    awf = fold_pad(aw)
+    # only x, y, attn cross into the kernel (floor/frac computed in-kernel):
+    # 3 layout transposes instead of 5, and the f32 output is P-reduced inside
+    xf, yf, awf = fold_pad(x), fold_pad(y), fold_pad(aw)
     qtot = lqp + pad
     n_tiles = qtot // tile_q
     # a chunk of several tiles amortizes grid-step overhead while keeping the
@@ -189,18 +195,19 @@ def ms_deform_attn_pallas(
                          memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
-        functools.partial(_msda_kernel, spatial_shapes, d, tile_q,
+        functools.partial(_msda_kernel, spatial_shapes, d, p, tile_q,
                           tiles_per_chunk),
-        out_shape=jax.ShapeDtypeStruct((nm, qtot, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nm, qtot // p, d), jnp.float32),
         grid=(nm, n_chunks),
-        in_specs=[qspec] * 5 + vspecs + rspecs + [sspec],
-        out_specs=pl.BlockSpec((1, chunk, d), lambda i, j: (i, j, 0),
+        in_specs=[qspec] * 3 + vspecs + rspecs + [sspec],
+        out_specs=pl.BlockSpec((1, chunk // p, d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(x0f, dxf, y0f, dyf, awf, *v_levels, *reps, sel)
+    )(xf, yf, awf, *v_levels, *reps, sel)
 
-    out = out[:, :lqp].reshape(n, m, lq, p, d).sum(axis=3)
-    return out.transpose(0, 2, 1, 3).reshape(n, lq, m * d).astype(value.dtype)
+    out = out[:, :lq]
+    return out.reshape(n, m, lq, d).transpose(0, 2, 1, 3).reshape(
+        n, lq, m * d).astype(value.dtype)
 
 
 @functools.lru_cache(maxsize=1)

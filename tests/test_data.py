@@ -113,3 +113,77 @@ def test_weight2mask():
     assert mask[3, 5] == 1 and mask[8, 2] == 0
     x0, y0, x1, y1 = box
     assert 2 <= x0 <= 4 and 8 <= x1 <= 10 and 1 <= y0 <= 3 and 5 <= y1 <= 7
+
+
+def test_refer_api_and_refexp2coco(tmp_path):
+    """Standalone REFER API (reference datasets/refer.py) + the refexp2coco
+    conversion tool on synthetic refs(unc).p + instances.json fixtures."""
+    import json
+    import pickle
+
+    import numpy as np
+
+    refs = [
+        {"ref_id": 1, "ann_id": 10, "image_id": 100, "category_id": 1,
+         "split": "train",
+         "sentences": [{"sent_id": 0, "sent": "the red dog",
+                        "tokens": ["the", "red", "dog"]},
+                       {"sent_id": 1, "sent": "left animal",
+                        "tokens": ["left", "animal"]}]},
+        {"ref_id": 2, "ann_id": 11, "image_id": 100, "category_id": 2,
+         "split": "val",
+         "sentences": [{"sent_id": 2, "sent": "blue box",
+                        "tokens": ["blue", "box"]}]},
+        {"ref_id": 3, "ann_id": 12, "image_id": 101, "category_id": 1,
+         "split": "testA",
+         "sentences": [{"sent_id": 3, "sent": "a thing",
+                        "tokens": ["a", "thing"]}]},
+    ]
+    instances = {
+        "images": [
+            {"id": 100, "file_name": "a.jpg", "height": 20, "width": 30},
+            {"id": 101, "file_name": "b.jpg", "height": 16, "width": 16},
+        ],
+        "annotations": [
+            {"id": 10, "image_id": 100, "bbox": [2, 2, 8, 6],
+             "segmentation": [[2, 2, 10, 2, 10, 8, 2, 8]], "category_id": 1},
+            {"id": 11, "image_id": 100, "bbox": [12, 3, 5, 5],
+             "segmentation": [[12, 3, 17, 3, 17, 8, 12, 8]], "category_id": 2},
+            {"id": 12, "image_id": 101, "bbox": [1, 1, 4, 4],
+             "segmentation": [[1, 1, 5, 1, 5, 5, 1, 5]], "category_id": 1},
+        ],
+        "categories": [{"id": 1, "name": "dog"}, {"id": 2, "name": "box"}],
+    }
+    root = tmp_path / "refcoco"
+    root.mkdir()
+    with open(root / "refs(unc).p", "wb") as f:
+        pickle.dump(refs, f)
+    with open(root / "instances.json", "w") as f:
+        json.dump(instances, f)
+
+    from ocpg_tpu.data.refer import REFER
+
+    refer = REFER(str(tmp_path), "refcoco", "unc")
+    assert refer.getRefIds(split="train") == [1]
+    assert refer.getRefIds(split="test") == [3]       # "test" matches testA
+    assert refer.getRefIds(image_ids=[100]) == [1, 2]
+    assert refer.getRefIds(cat_ids=[1]) == [1, 3]
+    assert refer.getAnnIds(ref_ids=[2]) == [11]
+    assert set(refer.getImgIds(ref_ids=[1, 3])) == {100, 101}
+    assert refer.loadCats(1) == ["dog"]
+    assert refer.getRefBox(1) == [2, 2, 8, 6]
+    assert refer.sentToRef[2]["ref_id"] == 2
+    m = refer.getMask(refer.Refs[1])
+    assert m["mask"].shape == (20, 30) and m["area"] > 0
+
+    from ocpg_tpu.cli.tools import refexp_to_coco
+
+    out_dir = tmp_path / "out"
+    refexp_to_coco(str(tmp_path), "refcoco", "unc", str(out_dir))
+    with open(out_dir / "instances_refcoco_train.json") as f:
+        train = json.load(f)
+    assert len(train["images"]) == 2            # one per (ref, sentence)
+    assert train["images"][0]["caption"] == "the red dog"
+    assert len(train["annotations"]) == 2
+    assert (out_dir / "instances_refcoco_val.json").exists()
+    assert (out_dir / "instances_refcoco_testA.json").exists()
