@@ -5,67 +5,94 @@ multi-label (:39-54) dense CRF via pydensecrf.  (Dead code in the reference
 snapshot — defined but never imported — kept here as the optional refinement
 stage it was meant to be.)
 
-pydensecrf is not in this image; this is a numpy mean-field dense CRF whose
-message passing uses Gaussian + joint-bilateral filtering (cv2) — the same
-structure (appearance + smoothness kernels, softmax updates), with the
-permutohedral lattice replaced by separable/bilateral approximations.
+pydensecrf is not in this image; this is a numpy mean-field dense CRF with
+the permutohedral lattice replaced by an explicit shifted-window evaluation
+of the two standard kernels:
+  * appearance (joint bilateral): w = exp(-|p|^2/2sxy_b^2 - |I_i-I_j|^2/2srgb^2)
+  * smoothness (Gaussian):        w = exp(-|p|^2/2sxy_g^2)
+Messages are kernel-normalized sums over the window excluding the center
+(sum_{j!=i} k(i,j) Q_j), and the Potts update adds the other label's message
+to the unary energy — the classic Krahenbuhl-Koltun mean-field iteration.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import cv2
 
 
-def apply_dense_crf(image: np.ndarray, prob: np.ndarray, n_iters: int = 5,
-                    sxy_gaussian: float = 3.0, compat_gaussian: float = 3.0,
-                    sxy_bilateral: float = 50.0, srgb_bilateral: float = 13.0,
-                    compat_bilateral: float = 10.0) -> np.ndarray:
-    """Binary dense CRF.
+def _potts_messages(img_f: np.ndarray, q: np.ndarray, radius: int,
+                    sxy_gaussian: float, sxy_bilateral: float,
+                    srgb_bilateral: float):
+    """Kernel-normalized messages sum_{j!=i} k(i,j) q_j for each label.
 
-    image: (H, W, 3) uint8 RGB; prob: (H, W) foreground probability in [0,1].
-    Returns refined (H, W) foreground probability.
+    img_f: (H, W, 3) float; q: (K, H, W).  Returns (gauss_msg, bilat_msg),
+    each (K, H, W) in [0, 1].
     """
-    prob = prob.clip(1e-5, 1 - 1e-5).astype(np.float32)
-    unary = -np.log(np.stack([1 - prob, prob]))       # (2, H, W) negative log-prob
-    q = np.stack([1 - prob, prob])
-    img = image.astype(np.uint8)
+    k, h, w = q.shape
+    g_acc = np.zeros_like(q)
+    g_norm = np.zeros((h, w), np.float32)
+    b_acc = np.zeros_like(q)
+    b_norm = np.zeros((h, w), np.float32)
 
-    d = int(2 * sxy_bilateral) | 1
-    for _ in range(n_iters):
-        msg = np.empty_like(q)
-        for c in range(2):
-            smooth = cv2.GaussianBlur(q[c], (0, 0), sxy_gaussian)
-            bilateral = cv2.ximgproc.jointBilateralFilter(
-                img, q[c], d=9, sigmaColor=srgb_bilateral, sigmaSpace=sxy_bilateral
-            ) if hasattr(cv2, "ximgproc") else cv2.bilateralFilter(
-                q[c], d=9, sigmaColor=srgb_bilateral, sigmaSpace=sxy_bilateral)
-            # remove self-contribution approximation and combine kernels
-            msg[c] = compat_gaussian * (smooth - q[c]) + compat_bilateral * (bilateral - q[c])
-        # compatibility = Potts: cost of the OTHER label's message
-        energy = unary + msg[::-1]
-        q = np.exp(-energy)
-        q /= q.sum(axis=0, keepdims=True)
-    return q[1]
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            if dy == 0 and dx == 0:
+                continue
+            ys = slice(max(dy, 0), h + min(dy, 0))
+            xs = slice(max(dx, 0), w + min(dx, 0))
+            ys_s = slice(max(-dy, 0), h + min(-dy, 0))
+            xs_s = slice(max(-dx, 0), w + min(-dx, 0))
+            d2 = float(dx * dx + dy * dy)
+            wg = np.exp(-d2 / (2.0 * sxy_gaussian ** 2))
+            ws = np.exp(-d2 / (2.0 * sxy_bilateral ** 2))
+            color = ((img_f[ys, xs] - img_f[ys_s, xs_s]) ** 2).sum(-1)
+            wb = ws * np.exp(-color / (2.0 * srgb_bilateral ** 2))
+            g_acc[:, ys, xs] += wg * q[:, ys_s, xs_s]
+            g_norm[ys, xs] += wg
+            b_acc[:, ys, xs] += wb * q[:, ys_s, xs_s]
+            b_norm[ys, xs] += wb
+    return g_acc / np.maximum(g_norm, 1e-12), b_acc / np.maximum(b_norm, 1e-12)
 
 
-def apply_dense_crf_multilabel(image: np.ndarray, probs: np.ndarray,
-                               n_iters: int = 5) -> np.ndarray:
-    """Multi-label variant (dense_crf.py:39-54). probs: (K, H, W) -> refined."""
+def _mean_field(image: np.ndarray, probs: np.ndarray, n_iters: int,
+                radius: int, sxy_gaussian: float, compat_gaussian: float,
+                sxy_bilateral: float, srgb_bilateral: float,
+                compat_bilateral: float) -> np.ndarray:
     probs = probs.clip(1e-5, 1 - 1e-5).astype(np.float32)
     probs = probs / probs.sum(axis=0, keepdims=True)
     unary = -np.log(probs)
     q = probs.copy()
-    img = image.astype(np.uint8)
+    img_f = image.astype(np.float32)
     for _ in range(n_iters):
-        msg = np.stack([
-            3.0 * (cv2.GaussianBlur(q[c], (0, 0), 3.0) - q[c])
-            + 10.0 * (cv2.bilateralFilter(q[c], 9, 13.0, 50.0) - q[c])
-            for c in range(q.shape[0])
-        ])
-        # Potts compatibility: sum of other labels' messages
+        g_msg, b_msg = _potts_messages(img_f, q, radius, sxy_gaussian,
+                                       sxy_bilateral, srgb_bilateral)
+        msg = compat_gaussian * g_msg + compat_bilateral * b_msg
+        # Potts compatibility: pay for the mass of every OTHER label
         other = msg.sum(axis=0, keepdims=True) - msg
         energy = unary + other
+        energy -= energy.min(axis=0, keepdims=True)
         q = np.exp(-energy)
         q /= q.sum(axis=0, keepdims=True)
     return q
+
+
+def apply_dense_crf(image: np.ndarray, prob: np.ndarray, n_iters: int = 5,
+                    radius: int = 5,
+                    sxy_gaussian: float = 3.0, compat_gaussian: float = 3.0,
+                    sxy_bilateral: float = 50.0, srgb_bilateral: float = 13.0,
+                    compat_bilateral: float = 10.0) -> np.ndarray:
+    """Binary dense CRF (reference apply_dense_crf, dense_crf.py:10-36).
+
+    image: (H, W, 3) uint8 RGB; prob: (H, W) foreground probability in [0,1].
+    Returns the refined (H, W) foreground probability.
+    """
+    q = _mean_field(image, np.stack([1.0 - prob, prob]), n_iters, radius,
+                    sxy_gaussian, compat_gaussian, sxy_bilateral,
+                    srgb_bilateral, compat_bilateral)
+    return q[1]
+
+
+def apply_dense_crf_multilabel(image: np.ndarray, probs: np.ndarray,
+                               n_iters: int = 5, radius: int = 5) -> np.ndarray:
+    """Multi-label variant (reference dense_crf.py:39-54). probs: (K, H, W)."""
+    return _mean_field(image, probs, n_iters, radius, 3.0, 3.0, 50.0, 13.0, 10.0)
