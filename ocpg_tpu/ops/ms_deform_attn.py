@@ -164,6 +164,9 @@ def ms_deform_attn_separable(
         cx = hat(fold(x0), fold(x - x0), w)                       # (NM, LQP, W)
         ry = hat(fold(y0), fold(y - y0), h) * fold(aw)[..., None]  # (NM, LQP, H)
         mm_dtype = jnp.bfloat16 if value.dtype == jnp.bfloat16 else jnp.float32
+        # note: keeping the (NM, LQP, H*D) intermediate in f32 measured FASTER
+        # end-to-end than a bf16 round-trip (the cast breaks XLA's backward
+        # fusions); the Pallas twin avoids the buffer entirely
         a = jnp.einsum("bqw,bwk->bqk", cx.astype(mm_dtype), v_whd.astype(mm_dtype),
                        preferred_element_type=jnp.float32)         # (NM, LQP, H*D)
         a = a.reshape(nm, lqp, h, d)
