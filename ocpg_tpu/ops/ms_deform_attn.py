@@ -209,6 +209,11 @@ def _msda_fast_fwd(value, spatial_shapes, sampling_locations,
 
 def _msda_fast_bwd(spatial_shapes, impl, residuals, g):
     value, sampling_locations, attention_weights = residuals
+    if impl == "pallas":
+        from .ms_deform_attn_pallas import ms_deform_attn_pallas_bwd
+
+        return ms_deform_attn_pallas_bwd(
+            value, spatial_shapes, sampling_locations, attention_weights, g)
     _, vjp = jax.vjp(
         lambda v, sl, aw: ms_deform_attn_separable(v, spatial_shapes, sl, aw),
         value, sampling_locations, attention_weights)

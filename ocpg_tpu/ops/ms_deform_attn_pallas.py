@@ -223,3 +223,223 @@ def pallas_available() -> bool:
         return bool(jnp.isfinite(out).all())
     except Exception:
         return False
+
+
+# --------------------------------------------------------------------------
+# Backward kernel: gradients for value / sampling locations / attention
+# weights as transposed hat-matmuls, replacing the reference's five col2im
+# CUDA variants (ms_deform_im2col_cuda.cuh:301-921) AND the XLA autodiff of
+# the separable formulation (whose (NM, LQP, H*D) f32 cotangent buffers
+# dominate the train step — see PROFILE.md "Training step").
+#
+# Math (per level, rows i = (query, point) pairs, lanes dh = d*H + h):
+#   A    = cx @ V'                      (recomputed, not stored)
+#   out  = P-sum over rows of (A * (ry @ REP)) @ SEL
+#   dA   = gxH * ryx          gxH = g @ REPD   (g replicated over h lanes)
+#   dV'  += cx^T @ dA                   (accumulated across query chunks)
+#   dcx  = dA @ V'^T ;  dx = sum_w dcx * (h1x - h0x)        * W  (outside)
+#   dry  = (gxH * A) @ REP^T
+#   daw  = sum_h dry * hy ;  dy = aw * sum_h dry * (h1y - h0y) * H (outside)
+# --------------------------------------------------------------------------
+
+
+def _hat_pair(center, frac, grid):
+    c = center[:, None]
+    h0 = jnp.maximum(0.0, 1.0 - jnp.abs(c - grid))
+    h1 = jnp.maximum(0.0, 1.0 - jnp.abs(c + 1.0 - grid))
+    return h0, h1, h0 * (1.0 - frac[:, None]) + h1 * frac[:, None]
+
+
+def _msda_bwd_kernel(levels, d, p, tile, tiles_per_chunk,
+                     x_ref, y_ref, aw_ref, g_ref, *rest):
+    nl = len(levels)
+    value_refs = rest[:nl]
+    rep_refs = rest[nl:2 * nl]
+    repd_refs = rest[2 * nl:3 * nl]
+    dv_refs = rest[3 * nl:4 * nl]
+    dx_ref, dy_ref, daw_ref = rest[4 * nl:4 * nl + 3]
+    j_chunk = pl.program_id(1)
+
+    def tile_body(j, carry):
+        q0 = pl.multiple_of(j * tile, tile)
+        gq = g_ref[0, pl.ds(q0 // p, tile // p), :]                # (tile/p, D)
+        gt = jnp.broadcast_to(gq[:, None, :], (tile // p, p, d)
+                              ).reshape(tile, d).astype(jnp.bfloat16)
+        for l, (h, w) in enumerate(levels):
+            x = x_ref[0, l, pl.ds(q0, tile)]
+            y = y_ref[0, l, pl.ds(q0, tile)]
+            aw = aw_ref[0, l, pl.ds(q0, tile)]
+            x0 = jnp.floor(x)
+            y0 = jnp.floor(y)
+            iw = jax.lax.broadcasted_iota(jnp.int32, (tile, w), 1).astype(jnp.float32)
+            ih = jax.lax.broadcasted_iota(jnp.int32, (tile, h), 1).astype(jnp.float32)
+            h0x, h1x, cx = _hat_pair(x0, x - x0, iw)               # (tile, W)
+            hy0, hy1, hy = _hat_pair(y0, y - y0, ih)               # (tile, H)
+            ry = (hy * aw[:, None]).astype(jnp.bfloat16)
+            cx_b = cx.astype(jnp.bfloat16)
+
+            gxH = jnp.dot(gt, repd_refs[l][...],
+                          preferred_element_type=jnp.float32
+                          ).astype(jnp.bfloat16)                   # (tile, D*H)
+            ryx = jnp.dot(ry, rep_refs[l][...],
+                          preferred_element_type=jnp.float32
+                          ).astype(jnp.bfloat16)
+            a = jnp.dot(cx_b, value_refs[l][0],
+                        preferred_element_type=jnp.float32
+                        ).astype(jnp.bfloat16)
+            da = gxH * ryx
+
+            dv_part = jax.lax.dot_general(
+                cx_b, da, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)                # (W, D*H)
+
+            first = jnp.logical_and(j_chunk == 0, j == 0)
+
+            @pl.when(first)
+            def _():
+                dv_refs[l][0] = dv_part
+
+            @pl.when(jnp.logical_not(first))
+            def _():
+                dv_refs[l][0] = dv_refs[l][0] + dv_part
+
+            dcx = jax.lax.dot_general(
+                da, value_refs[l][0], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)                # (tile, W)
+            dx_ref[0, l, pl.ds(q0, tile)] = (dcx * (h1x - h0x)).sum(axis=1)
+
+            dry = jax.lax.dot_general(
+                gxH * a, rep_refs[l][...], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)                # (tile, H)
+            daw_ref[0, l, pl.ds(q0, tile)] = (dry * hy).sum(axis=1)
+            dy_ref[0, l, pl.ds(q0, tile)] = aw * (dry * (hy1 - hy0)).sum(axis=1)
+        return carry
+
+    jax.lax.fori_loop(0, tiles_per_chunk, tile_body, 0)
+
+
+@functools.lru_cache(maxsize=None)
+def _repd_np(spatial_shapes: Shapes, d: int):
+    """REPD_l (D, D*H_l): replicate g over the h lanes (lane dh = dd*H + hh)."""
+    import numpy as np
+
+    out = []
+    for (h, _) in spatial_shapes:
+        lanes = np.arange(d * h)
+        out.append((lanes[None, :] // h) == np.arange(d)[:, None])
+    return out
+
+
+@functools.partial(jax.jit, static_argnums=(1, 5, 6))
+def ms_deform_attn_pallas_bwd(
+    value: Array,                 # (N, S, M, D)
+    spatial_shapes: Shapes,
+    sampling_locations: Array,    # (N, Lq, M, L, P, 2)
+    attention_weights: Array,     # (N, Lq, M, L, P)
+    grad_out: Array,              # (N, Lq, M*D) cotangent
+    tile_q: int = 256,
+    interpret: bool = False,
+):
+    """Returns (d_value, d_sampling_locations, d_attention_weights)."""
+    import math
+
+    n, s, m, d = value.shape
+    _, lq, _, l, p, _ = sampling_locations.shape
+    nm = n * m
+    lqp = lq * p
+
+    value_nm = value.transpose(0, 2, 1, 3).reshape(nm, s, d)
+    v_levels = []
+    start = 0
+    for (h, w) in spatial_shapes:
+        v = jax.lax.dynamic_slice_in_dim(value_nm, start, h * w, axis=1)
+        v_levels.append(v.reshape(nm, h, w, d).transpose(0, 2, 3, 1)
+                        .reshape(nm, w, d * h).astype(jnp.bfloat16))
+        start += h * w
+
+    loc = sampling_locations.astype(jnp.float32)
+    aw = attention_weights.astype(jnp.float32)
+    ws = jnp.asarray([w for _, w in spatial_shapes], jnp.float32)
+    hs = jnp.asarray([h for h, _ in spatial_shapes], jnp.float32)
+    x = loc[..., 0] * ws[None, None, None, :, None] - 0.5
+    y = loc[..., 1] * hs[None, None, None, :, None] - 0.5
+
+    unit = 128 * p // math.gcd(128, p)
+    tile_q = max(unit, (min(tile_q, -(-lqp // unit) * unit) // unit) * unit)
+    pad = (-lqp) % tile_q
+
+    def fold_pad(a):
+        a = a.transpose(0, 2, 3, 1, 4).reshape(nm, l, lqp)
+        return jnp.pad(a, ((0, 0), (0, 0), (0, pad))) if pad else a
+
+    xf, yf, awf = fold_pad(x), fold_pad(y), fold_pad(aw)
+    qtot = lqp + pad
+    n_tiles = qtot // tile_q
+    tiles_per_chunk = min(n_tiles, 8)
+    while n_tiles % tiles_per_chunk:
+        tiles_per_chunk -= 1
+    chunk = tile_q * tiles_per_chunk
+    n_chunks = qtot // chunk
+
+    # g folded to (NM, QTOT/P, D), zero in the padded tail
+    g = grad_out.astype(jnp.float32).reshape(n, lq, m, d).transpose(0, 2, 1, 3)
+    g = g.reshape(nm, lq, d)
+    if pad:
+        g = jnp.pad(g, ((0, 0), (0, pad // p), (0, 0)))
+
+    reps, _ = _constants(spatial_shapes, d)
+    repds = [jnp.asarray(r, jnp.bfloat16) for r in _repd_np(spatial_shapes, d)]
+
+    qspec = pl.BlockSpec((1, l, chunk), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM)
+    gspec = pl.BlockSpec((1, chunk // p, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM)
+    vspecs = [pl.BlockSpec((1, w, d * h), lambda i, j: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+              for (h, w) in spatial_shapes]
+    rspecs = [pl.BlockSpec((h, d * h), lambda i, j: (0, 0),
+                           memory_space=pltpu.VMEM)
+              for (h, w) in spatial_shapes]
+    rdspecs = [pl.BlockSpec((d, d * h), lambda i, j: (0, 0),
+                            memory_space=pltpu.VMEM)
+               for (h, w) in spatial_shapes]
+    dv_specs = [pl.BlockSpec((1, w, d * h), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+                for (h, w) in spatial_shapes]
+    dq_spec = pl.BlockSpec((1, l, chunk), lambda i, j: (i, 0, j),
+                           memory_space=pltpu.VMEM)
+
+    out_shapes = (
+        [jax.ShapeDtypeStruct((nm, w, d * h), jnp.float32)
+         for (h, w) in spatial_shapes]
+        + [jax.ShapeDtypeStruct((nm, l, qtot), jnp.float32)] * 3
+    )
+    outs = pl.pallas_call(
+        functools.partial(_msda_bwd_kernel, spatial_shapes, d, p, tile_q,
+                          tiles_per_chunk),
+        out_shape=tuple(out_shapes),
+        grid=(nm, n_chunks),
+        in_specs=[qspec] * 3 + [gspec] + vspecs + rspecs + rdspecs,
+        out_specs=tuple(dv_specs + [dq_spec] * 3),
+        interpret=interpret,
+    )(xf, yf, awf, g, *v_levels, *reps, *repds)
+    dvs = outs[:l]
+    dxg, dyg, dawg = outs[l:]
+
+    # d_value: reverse the (NM, W, D*H) layout and undo the head fold
+    dv_parts = []
+    for (hh, ww), dv in zip(spatial_shapes, dvs):
+        dv = dv.reshape(nm, ww, d, hh).transpose(0, 3, 1, 2)   # (NM, H, W, D)
+        dv_parts.append(dv.reshape(nm, hh * ww, d))
+    d_value = jnp.concatenate(dv_parts, axis=1).reshape(n, m, s, d)
+    d_value = d_value.transpose(0, 2, 1, 3).astype(value.dtype)
+
+    def unfold(a):  # (NM, L, QTOT) -> (N, Lq, M, L, P)
+        a = a[:, :, :lqp].reshape(n, m, l, lq, p)
+        return a.transpose(0, 3, 1, 2, 4)
+
+    d_x = unfold(dxg) * ws[None, None, None, :, None]
+    d_y = unfold(dyg) * hs[None, None, None, :, None]
+    d_loc = jnp.stack([d_x, d_y], axis=-1).astype(sampling_locations.dtype)
+    d_attn = unfold(dawg).astype(attention_weights.dtype)
+    return d_value, d_loc, d_attn

@@ -53,3 +53,25 @@ def test_fast_dispatcher_grads_match_gather_autodiff(rng):
     for a, b in zip(g_fast, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_backward_matches_autodiff_interpret(rng):
+    """Hand-written Pallas backward (ms_deform_attn_pallas_bwd) vs autodiff
+    of the gather formulation — dvalue / dlocations / dattention.  bf16
+    matmul precision inside the kernel -> bf16-level tolerance."""
+    from ocpg_tpu.ops.ms_deform_attn_pallas import ms_deform_attn_pallas_bwd
+
+    value, locs, attn = _inputs(rng)
+    g = jnp.asarray(np.random.default_rng(7).random(
+        (value.shape[0], locs.shape[1], value.shape[2] * value.shape[3])),
+        jnp.float32)
+
+    def loss(v, l, a):
+        return (ms_deform_attn(v, SHAPES, l, a) * g).sum()
+
+    dv_ref, dl_ref, da_ref = jax.grad(loss, argnums=(0, 1, 2))(value, locs, attn)
+    dv, dl, da = ms_deform_attn_pallas_bwd(value, SHAPES, locs, attn, g, 128, True)
+    for got, ref in ((dv, dv_ref), (dl, dl_ref), (da, da_ref)):
+        got, ref = np.asarray(got, np.float32), np.asarray(ref, np.float32)
+        scale = max(np.abs(ref).max(), 1e-6)
+        np.testing.assert_allclose(got / scale, ref / scale, atol=6e-3)
