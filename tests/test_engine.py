@@ -200,3 +200,52 @@ def test_evaluate_refexp_loop_smoke():
     for key in ("bbox_P@1", "segm_mAP 0.5:0.95", "segm_overall_iou"):
         assert key in out, out.keys()
         assert np.isfinite(out[key])
+
+
+def test_train_step_debug_images_output():
+    """debug_images=True exposes the first sample's predicted map in metrics
+    (feeds the periodic pred/target/weak dumps, reference engine.py:63-77)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ocpg_tpu.models import build_model
+    from ocpg_tpu.engine import build_optimizer, create_train_state, make_train_step
+
+    cfg = OCPGConfig(
+        backbone="resnet50", enc_layers=1, dec_layers=2, dim_feedforward=64,
+        num_queries=5, num_frames=2, compute_dtype="float32",
+        dataset_file="ytvos",
+        text_layers=2, text_hidden=128, text_heads=4, text_ffn=256,
+        text_vocab=2048,
+    )
+    model, _, criterion_cfg, weight_dict = build_model(cfg)
+    rng = np.random.default_rng(0)
+    b, t, h, w, lt = 1, 2, 64, 64, 8
+    batch = {
+        "samples": jnp.asarray(rng.standard_normal((b, t, h, w, 3)), jnp.float32),
+        "samples_mask": jnp.zeros((b, t, h, w), bool),
+        "text_ids": jnp.asarray(rng.integers(4, 1000, (b, lt)), jnp.int32),
+        "text_mask": jnp.ones((b, lt), jnp.int32),
+        "targets": {
+            "labels": jnp.zeros((b, t), jnp.int32),
+            "boxes": jnp.tile(jnp.asarray([0.4, 0.5, 0.3, 0.4], jnp.float32), (b, t, 1)),
+            "valid": jnp.ones((b, t), jnp.int32),
+            "masks": jnp.asarray(rng.random((b, t, h, w)) > 0.7, jnp.float32),
+            "weights": jnp.asarray(rng.random((b, t, h, w)), jnp.float32),
+            "weak_masks": jnp.asarray(rng.random((b, t, h, w)) > 0.6, jnp.float32),
+            "size": jnp.tile(jnp.asarray([[h, w]], jnp.int32), (b, 1)),
+        },
+    }
+    params = model.init(
+        jax.random.PRNGKey(0), batch["samples"], batch["samples_mask"],
+        batch["text_ids"], batch["text_mask"], batch["targets"]["size"],
+        targets=batch["targets"], train=True,
+    )
+    optimizer = build_optimizer(cfg, lr_drop_steps=[1000])
+    state = create_train_state(params, optimizer)
+    step = jax.jit(make_train_step(model, criterion_cfg, weight_dict, optimizer,
+                                   debug_images=True))
+    _, metrics = step(state, batch)
+    pred = np.asarray(metrics["debug_pred"])
+    assert pred.shape == (h, w)
+    assert np.isfinite(pred).all() and 0.0 <= pred.min() and pred.max() <= 1.0
