@@ -1,0 +1,152 @@
+"""Train-step throughput bench (and optional op-level profile) on the real TPU.
+
+Usage:  python scripts/bench_train.py [--frames 3] [--height 512] [--width 640]
+                                      [--backbone resnet101] [--iters 4]
+                                      [--trace] [--out -]
+
+Same chained-`lax.scan` methodology as bench.py: N train steps run inside one
+jitted program with the TrainState as the scan carry, so iterations execute
+sequentially on-device and only scalars return to the host — robust on the
+tunneled "axon" platform where per-call timing measures tunnel latency.
+The 1-iter run is subtracted to cancel dispatch/compile-cache overhead.
+
+This is the committed source of the PROFILE.md "Training step" numbers
+(round-2 performance pass evidence; the reference equivalent is the eager
+torch loop at /root/reference/engine.py:29-123).
+"""
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=3)
+    ap.add_argument("--height", type=int, default=512)
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--backbone", default="resnet101")
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--trace", action="store_true",
+                    help="capture a jax.profiler trace and print the op breakdown")
+    ap.add_argument("--trace_dir", default="/tmp/ocpg_profile_train")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from ocpg_tpu.config import ytvos_r101_boxsup
+    from ocpg_tpu.models import build_model
+    from ocpg_tpu.engine import build_optimizer, create_train_state, make_train_step
+    from ocpg_tpu.data.synthetic import synthetic_batch
+
+    cfg = ytvos_r101_boxsup().replace(compute_dtype="bfloat16",
+                                      backbone=args.backbone,
+                                      num_frames=args.frames)
+    model, _, criterion_cfg, weight_dict = build_model(cfg)
+    rng = np.random.default_rng(0)
+    host = synthetic_batch(rng, batch=args.batch, frames=args.frames,
+                           height=args.height, width=args.width)
+    batch = {
+        "samples": jnp.asarray(host["samples"]),
+        "samples_mask": jnp.asarray(host["samples_mask"]),
+        "text_ids": jnp.asarray(host["text_ids"]),
+        "text_mask": jnp.asarray(host["text_mask"]),
+        "targets": {k: jnp.asarray(v) for k, v in host["targets"].items()},
+    }
+
+    params = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0),
+        batch["samples"], batch["samples_mask"],
+        batch["text_ids"], batch["text_mask"], batch["targets"]["size"],
+        targets=batch["targets"], train=True))()
+    optimizer = build_optimizer(cfg, lr_drop_steps=[10**9])
+    state = create_train_state(params, optimizer)
+    train_step = make_train_step(model, criterion_cfg, weight_dict, optimizer)
+
+    @functools.partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
+    def chained(state, batch, n_iters):
+        def body(s, _):
+            s, metrics = train_step(s, batch)
+            return s, metrics["loss"]
+        s, losses = jax.lax.scan(body, state, None, length=n_iters)
+        return s, losses
+
+    print("warmup/compile ...", flush=True)
+    state, losses = chained(state, batch, 1)
+    state, losses = chained(state, batch, args.iters)
+    float(losses[-1])
+
+    t0 = time.perf_counter()
+    state, losses = chained(state, batch, args.iters)
+    float(losses[-1])
+    t_many = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    state, losses = chained(state, batch, 1)
+    float(losses[-1])
+    t_one = time.perf_counter() - t0
+
+    dt = max((t_many - t_one) / (args.iters - 1), 1e-9)
+    fps = args.batch * args.frames / dt
+    print(f"train step: {dt*1e3:.1f} ms/step = {fps:.1f} train-frames/sec/chip "
+          f"({args.backbone}, {args.batch}x{args.frames}f "
+          f"{args.height}x{args.width} bf16), last loss {float(losses[-1]):.3f}")
+
+    if args.trace:
+        import glob
+
+        os.makedirs(args.trace_dir, exist_ok=True)
+        with jax.profiler.trace(args.trace_dir):
+            state, losses = chained(state, batch, 2)
+            float(losses[-1])
+        paths = sorted(glob.glob(os.path.join(args.trace_dir, "**", "*.xplane.pb"),
+                                 recursive=True), key=os.path.getmtime)
+        assert paths, f"no xplane under {args.trace_dir}"
+        data = jax.profiler.ProfileData.from_file(paths[-1])
+        from profile_bench import categorize
+        import collections
+
+        candidates = []
+        for plane in data.planes:
+            if "TPU" not in (plane.name or "") and "/device:" not in (plane.name or ""):
+                continue
+            for line in plane.lines:
+                evs = [(ev.name, int(ev.duration_ns)) for ev in line.events]
+                if evs:
+                    candidates.append((line.name or "?", evs))
+        sync = [c for c in candidates if c[0] == "XLA Ops"]
+        lname, evs = sync[0] if sync else max(
+            candidates, key=lambda c: sum(d for n, d in c[1] if not n.startswith("%while")))
+        per_op = collections.Counter()
+        per_cat = collections.Counter()
+        total = 0
+        for name, dur in evs:
+            if name.startswith("%while"):
+                continue
+            per_op[name] += dur
+            per_cat[categorize(name)] += dur
+            total += dur
+        print(f"\ndevice total {total/1e6:.1f} ms over 2 steps "
+              f"({total/2e6:.1f} ms/step)\n\n| category | ms | % |\n|---|---|---|")
+        for cat, ns in per_cat.most_common():
+            print(f"| {cat} | {ns/1e6:.2f} | {100*ns/max(total,1):.1f}% |")
+        print("\n| op | ms | % |\n|---|---|---|")
+        import re
+        for name, ns in per_op.most_common(30):
+            print(f"| `{re.sub(r'%s+', ' ', name)[:110]}` | {ns/1e6:.2f} "
+                  f"| {100*ns/max(total,1):.1f}% |")
+
+
+if __name__ == "__main__":
+    main()
