@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops.ms_deform_attn import ms_deform_attn_fast
+from ..ops.ms_deform_attn import ms_deform_attn_fast_cm
 from .layers import MLP, MultiheadAttention, inverse_sigmoid, xavier_uniform
 
 Array = jax.Array
@@ -62,6 +62,8 @@ class MSDeformAttnModule(nn.Module):
     n_points: int = 4
     dtype: jnp.dtype = jnp.float32
     msda_impl: str = "xla"            # 'pallas' | 'separable' | 'xla'
+    return_samples: bool = False      # also build standard-layout locs/attn
+                                      # (visualization only — extra transposes)
 
     @nn.compact
     def __call__(
@@ -71,7 +73,7 @@ class MSDeformAttnModule(nn.Module):
         input_flatten: Array,         # (N, S, C)
         spatial_shapes: Shapes,
         input_padding_mask: Optional[Array] = None,  # (N, S) bool True=pad
-    ) -> Tuple[Array, Array, Array]:
+    ) -> Tuple[Array, Optional[Array], Optional[Array]]:
         n, lq, _ = query.shape
         m, l, p = self.n_heads, self.n_levels, self.n_points
         d = self.d_model // m
@@ -81,33 +83,40 @@ class MSDeformAttnModule(nn.Module):
             value = jnp.where(input_padding_mask[..., None], 0.0, value)
         value = value.reshape(n, -1, m, d)
 
+        # Channel-major layout: ONE 2D transpose of each Dense output
+        # ((N, Lq, C_out) -> (N, C_out, Lq), both dims tile-sized) replaces
+        # the 5D tiny-minor-dim fold/unfold transposes around the kernel —
+        # those cost ~16 ms/step at train shapes (PROFILE.md).  The channel
+        # ordering (m, l, p, [xy]) matches the reference Dense weights
+        # (ops/modules/ms_deform_attn.py:104-113), so converters are
+        # unaffected and the math is bit-identical to the row-major path.
         offsets = nn.Dense(
             m * l * p * 2,
             kernel_init=nn.initializers.zeros,
             bias_init=_offset_bias_init(m, l, p),
             dtype=jnp.float32,
             name="sampling_offsets",
-        )(query).reshape(n, lq, m, l, p, 2)
+        )(query).transpose(0, 2, 1).reshape(n, m, l, p, 2, lq)
         attn = nn.Dense(
             m * l * p,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
             dtype=jnp.float32,
             name="attention_weights",
-        )(query).reshape(n, lq, m, l * p)
-        attn = jax.nn.softmax(attn, axis=-1).reshape(n, lq, m, l, p)
+        )(query).transpose(0, 2, 1).reshape(n, m, l * p, lq)
+        attn_cm = jax.nn.softmax(attn, axis=2).reshape(n, m, l, p, lq)
 
-        ref = reference_points.astype(jnp.float32)
+        # reference points to channel-major: (N, Lq, L, c) -> (N, L, c, Lq)
+        ref = reference_points.astype(jnp.float32).transpose(0, 2, 3, 1)
+        off_x, off_y = offsets[:, :, :, :, 0], offsets[:, :, :, :, 1]
         if reference_points.shape[-1] == 2:
-            normalizer = jnp.asarray(
-                [[w, h] for h, w in spatial_shapes], dtype=jnp.float32
-            )  # (L, 2) as (W, H)
-            locations = ref[:, :, None, :, None, :] + offsets / normalizer[None, None, None, :, None, :]
+            ws = jnp.asarray([w for h, w in spatial_shapes], jnp.float32)
+            hs = jnp.asarray([h for h, w in spatial_shapes], jnp.float32)
+            x_cm = ref[:, None, :, 0, None, :] + off_x / ws[None, None, :, None, None]
+            y_cm = ref[:, None, :, 1, None, :] + off_y / hs[None, None, :, None, None]
         elif reference_points.shape[-1] == 4:
-            locations = (
-                ref[:, :, None, :, None, :2]
-                + offsets / p * ref[:, :, None, :, None, 2:] * 0.5
-            )
+            x_cm = ref[:, None, :, 0, None, :] + off_x / p * ref[:, None, :, 2, None, :] * 0.5
+            y_cm = ref[:, None, :, 1, None, :] + off_y / p * ref[:, None, :, 3, None, :] * 0.5
         else:
             raise ValueError(reference_points.shape)
 
@@ -115,11 +124,15 @@ class MSDeformAttnModule(nn.Module):
         # op in autocast(enabled=False) (deformable_transformer.py:250,329)
         # because fp16 under/overflows; bf16 shares fp32's exponent range, so
         # the value gather itself stays in compute dtype (half the HBM
-        # traffic) while ms_deform_attn accumulates in fp32 internally.
-        out = ms_deform_attn_fast(value, spatial_shapes, locations, attn,
-                                  self.msda_impl)
+        # traffic) while the op accumulates in fp32 internally.
+        out = ms_deform_attn_fast_cm(value, spatial_shapes, x_cm, y_cm,
+                                     attn_cm, self.msda_impl)
         out = nn.Dense(self.d_model, dtype=self.dtype, kernel_init=xavier_uniform, name="output_proj")(out.astype(self.dtype))
-        return out, locations, attn
+
+        if self.return_samples:
+            locations = jnp.stack([x_cm, y_cm], -1).transpose(0, 4, 1, 2, 3, 5)
+            return out, locations, attn_cm.transpose(0, 4, 1, 2, 3)
+        return out, None, None
 
 
 class EncoderLayer(nn.Module):
@@ -158,6 +171,7 @@ class DecoderLayer(nn.Module):
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
     msda_impl: str = "xla"
+    return_samples: bool = False
 
     @nn.compact
     def __call__(self, tgt, query_pos, reference_points, src, spatial_shapes,
@@ -170,7 +184,8 @@ class DecoderLayer(nn.Module):
 
         tgt2, locations, attn = MSDeformAttnModule(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
-            dtype=self.dtype, msda_impl=self.msda_impl, name="cross_attn",
+            dtype=self.dtype, msda_impl=self.msda_impl,
+            return_samples=self.return_samples, name="cross_attn",
         )(tgt + query_pos, reference_points, src, spatial_shapes, src_padding_mask)
         tgt = tgt + nn.Dropout(self.dropout)(tgt2, deterministic=deterministic)
         tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(tgt)
@@ -291,7 +306,8 @@ class DeformableTransformer(nn.Module):
             out_q, locations, attn = DecoderLayer(
                 self.d_model, self.dim_feedforward, self.num_feature_levels,
                 self.nhead, self.dec_n_points, self.dropout, dtype=self.dtype,
-                msda_impl=self.msda_impl, name=f"decoder_layer_{i}",
+                msda_impl=self.msda_impl, return_samples=self.track_samples,
+                name=f"decoder_layer_{i}",
             )(out_q, query_pos, ref_input, memory, spatial_shapes, mask_flat,
               deterministic=deterministic)
 

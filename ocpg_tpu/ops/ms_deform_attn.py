@@ -265,3 +265,65 @@ def ms_deform_attn_reference(
                     wgt = (cw * valid)[ni, :, mi] * attn[ni, :, mi, lid]
                     out[ni, :, mi] += (wgt[..., None] * g).sum(axis=1)
     return out.reshape(n, lq, m * d)
+
+
+# --------------------------------------------------------------------------
+# Channel-major (CM) entry point: query params as (N, M, L, P, Lq).
+#
+# The model produces this layout with one cheap 2D transpose of its Dense
+# outputs (deformable_transformer.py:MSDeformAttnModule); the Pallas CM
+# kernels consume/produce it directly, eliminating the 5D fold/unfold
+# transposes of the row-folded path and running the selector matmul once per
+# query instead of once per (query, point) — see PROFILE.md round-3 notes.
+# --------------------------------------------------------------------------
+
+
+def _cm_to_standard(x_cm, y_cm, aw_cm):
+    """(N, M, L, P, Lq) x/y/aw -> standard (N, Lq, M, L, P[, 2]) locs, attn."""
+    locs = jnp.stack([x_cm, y_cm], axis=-1)              # (N, M, L, P, Lq, 2)
+    locs = locs.transpose(0, 4, 1, 2, 3, 5)              # (N, Lq, M, L, P, 2)
+    attn = jnp.transpose(aw_cm, (0, 4, 1, 2, 3))         # (N, Lq, M, L, P)
+    return locs, attn
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 5))
+def ms_deform_attn_fast_cm(value, spatial_shapes, x_cm, y_cm, aw_cm,
+                           impl: str = "xla"):
+    """MSDA with channel-major query params (N, M, L, P, Lq), normalized [0,1].
+
+    impl 'pallas' runs the CM Pallas kernel pair natively; 'separable'/'xla'
+    convert to the standard layout first (CPU/test paths).  Returns
+    (N, Lq, M*D).
+    """
+    if impl == "pallas":
+        from .ms_deform_attn_pallas import ms_deform_attn_pallas_cm
+
+        return ms_deform_attn_pallas_cm(value, spatial_shapes, x_cm, y_cm, aw_cm)
+    locs, attn = _cm_to_standard(x_cm, y_cm, aw_cm)
+    if impl == "separable":
+        return ms_deform_attn_separable(value, spatial_shapes, locs, attn)
+    return ms_deform_attn(value, spatial_shapes, locs, attn)
+
+
+def _msda_cm_fwd(value, spatial_shapes, x_cm, y_cm, aw_cm, impl):
+    out = ms_deform_attn_fast_cm(value, spatial_shapes, x_cm, y_cm, aw_cm, impl)
+    return out, (value, x_cm, y_cm, aw_cm)
+
+
+def _msda_cm_bwd(spatial_shapes, impl, residuals, g):
+    value, x_cm, y_cm, aw_cm = residuals
+    if impl == "pallas":
+        from .ms_deform_attn_pallas import ms_deform_attn_pallas_bwd_cm
+
+        return ms_deform_attn_pallas_bwd_cm(
+            value, spatial_shapes, x_cm, y_cm, aw_cm, g)
+
+    def f(v, x, y, a):
+        locs, attn = _cm_to_standard(x, y, a)
+        return ms_deform_attn_separable(v, spatial_shapes, locs, attn)
+
+    _, vjp = jax.vjp(f, value, x_cm, y_cm, aw_cm)
+    return vjp(g)
+
+
+ms_deform_attn_fast_cm.defvjp(_msda_cm_fwd, _msda_cm_bwd)

@@ -443,3 +443,300 @@ def ms_deform_attn_pallas_bwd(
     d_loc = jnp.stack([d_x, d_y], axis=-1).astype(sampling_locations.dtype)
     d_attn = unfold(dawg).astype(attention_weights.dtype)
     return d_value, d_loc, d_attn
+
+
+# --------------------------------------------------------------------------
+# Channel-major (CM) kernels: query params arrive as (NM, L, P, LQ) instead
+# of (NM, L, LQ*P).  Two structural wins over the row-folded kernels above:
+#   1. The model can produce this layout with ONE cheap 2D transpose of the
+#      (N, Lq, M*L*P) Dense output — the row-folded layout needs 5D
+#      tiny-minor-dim transposes that cost ~16 ms/step at train shapes
+#      (see PROFILE.md).
+#   2. P becomes an inner loop, so the point-sum happens BEFORE the SEL
+#      selector matmul: SEL (the kernel's largest matmul, K = sum_l D*H_l)
+#      runs once per query row instead of once per (query, point) row — a
+#      P-fold FLOP cut of that stage.  (SEL is linear, so summing products
+#      over P first is algebraically identical.)
+# Gradients: `ms_deform_attn_fast_cm` (ops/ms_deform_attn.py) pairs the CM
+# forward with `ms_deform_attn_pallas_bwd_cm`, whose dq outputs are written
+# directly in CM layout — no unfold transposes on the backward either.
+# --------------------------------------------------------------------------
+
+
+def _msda_cm_kernel(levels, d, p, tile, tiles_per_chunk,
+                    x_ref, y_ref, aw_ref, *rest):
+    nl = len(levels)
+    value_refs = rest[:nl]
+    rep_refs = rest[nl:2 * nl]
+    sel_ref = rest[2 * nl]
+    out_ref = rest[-1]
+
+    def tile_body(j, carry):
+        q0 = pl.multiple_of(j * tile, tile)
+        prods = []
+        for l, (h, w) in enumerate(levels):
+            iw = jax.lax.broadcasted_iota(jnp.int32, (tile, w), 1).astype(jnp.float32)
+            ih = jax.lax.broadcasted_iota(jnp.int32, (tile, h), 1).astype(jnp.float32)
+            acc = None
+            for pi in range(p):
+                x = x_ref[0, l, pi, pl.ds(q0, tile)] * w - 0.5
+                y = y_ref[0, l, pi, pl.ds(q0, tile)] * h - 0.5
+                aw = aw_ref[0, l, pi, pl.ds(q0, tile)]
+                x0 = jnp.floor(x)
+                y0 = jnp.floor(y)
+                cx = _hat(x0, x - x0, iw)                            # (tile, W)
+                a = jnp.dot(cx.astype(jnp.bfloat16), value_refs[l][0],
+                            preferred_element_type=jnp.float32
+                            ).astype(jnp.bfloat16)                   # (tile, D*H)
+                ry = (_hat(y0, y - y0, ih) * aw[:, None]).astype(jnp.bfloat16)
+                ryx = jnp.dot(ry, rep_refs[l][...],
+                              preferred_element_type=jnp.float32
+                              ).astype(jnp.bfloat16)                 # (tile, D*H)
+                prod = (a * ryx).astype(jnp.float32)
+                acc = prod if acc is None else acc + prod            # P-sum first
+            prods.append(acc.astype(jnp.bfloat16))
+        prod = jnp.concatenate(prods, axis=1)                        # (tile, sum D*H_l)
+        out = jnp.dot(prod, sel_ref[...],
+                      preferred_element_type=jnp.float32)            # (tile, L*D)
+        acc = out[:, :d]
+        for l in range(1, nl):
+            acc = acc + out[:, l * d:(l + 1) * d]
+        out_ref[0, pl.ds(q0, tile), :] = acc
+        return carry
+
+    jax.lax.fori_loop(0, tiles_per_chunk, tile_body, 0)
+
+
+def _fold_value_levels(value, spatial_shapes):
+    """(N, S, M, D) -> per-level (NM, W, D*H) bf16 operands."""
+    n, s, m, d = value.shape
+    nm = n * m
+    value_nm = value.transpose(0, 2, 1, 3).reshape(nm, s, d)
+    v_levels = []
+    start = 0
+    for (h, w) in spatial_shapes:
+        v = jax.lax.dynamic_slice_in_dim(value_nm, start, h * w, axis=1)
+        v = v.reshape(nm, h, w, d).transpose(0, 2, 3, 1).reshape(nm, w, d * h)
+        v_levels.append(v.astype(jnp.bfloat16))
+        start += h * w
+    return v_levels
+
+
+def _cm_tiling(lq: int, tile_q: int):
+    tile_q = max(128, (min(tile_q, -(-lq // 128) * 128) // 128) * 128)
+    pad = (-lq) % tile_q
+    qtot = lq + pad
+    n_tiles = qtot // tile_q
+    tiles_per_chunk = min(n_tiles, 8)
+    while n_tiles % tiles_per_chunk:
+        tiles_per_chunk -= 1
+    return tile_q, pad, qtot, tile_q * tiles_per_chunk, tiles_per_chunk
+
+
+@functools.partial(jax.jit, static_argnums=(1, 5, 6))
+def ms_deform_attn_pallas_cm(
+    value: Array,                 # (N, S, M, D)
+    spatial_shapes: Shapes,
+    x_cm: Array,                  # (N, M, L, P, Lq)  normalized [0, 1]
+    y_cm: Array,                  # (N, M, L, P, Lq)
+    aw_cm: Array,                 # (N, M, L, P, Lq)
+    tile_q: int = 512,
+    interpret: bool = False,
+) -> Array:                       # (N, Lq, M * D)
+    n, s, m, d = value.shape
+    _, _, l, p, lq = x_cm.shape
+    assert l == len(spatial_shapes)
+    nm = n * m
+
+    v_levels = _fold_value_levels(value, spatial_shapes)
+    tile_q, pad, qtot, chunk, tiles_per_chunk = _cm_tiling(lq, tile_q)
+    n_chunks = qtot // chunk
+
+    def fold(a):  # (N, M, L, P, Lq) -> (NM, L, P, LQ[+pad]) — reshape + pad only
+        a = a.astype(jnp.float32).reshape(nm, l, p, lq)
+        return jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, pad))) if pad else a
+
+    xf, yf, awf = fold(x_cm), fold(y_cm), fold(aw_cm)
+    reps, sel = _constants(spatial_shapes, d)
+    tothd = sel.shape[0]
+
+    qspec = pl.BlockSpec((1, l, p, chunk), lambda i, j: (i, 0, 0, j),
+                         memory_space=pltpu.VMEM)
+    vspecs = [pl.BlockSpec((1, w, d * h), lambda i, j: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+              for (h, w) in spatial_shapes]
+    rspecs = [pl.BlockSpec((h, d * h), lambda i, j: (0, 0),
+                           memory_space=pltpu.VMEM)
+              for (h, w) in spatial_shapes]
+    sspec = pl.BlockSpec((tothd, l * d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_msda_cm_kernel, spatial_shapes, d, p, tile_q,
+                          tiles_per_chunk),
+        out_shape=jax.ShapeDtypeStruct((nm, qtot, d), jnp.float32),
+        grid=(nm, n_chunks),
+        in_specs=[qspec] * 3 + vspecs + rspecs + [sspec],
+        out_specs=pl.BlockSpec((1, chunk, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xf, yf, awf, *v_levels, *reps, sel)
+
+    out = out[:, :lq]
+    return out.reshape(n, m, lq, d).transpose(0, 2, 1, 3).reshape(
+        n, lq, m * d).astype(value.dtype)
+
+
+def _msda_cm_bwd_kernel(levels, d, p, tile, tiles_per_chunk,
+                        x_ref, y_ref, aw_ref, g_ref, *rest):
+    nl = len(levels)
+    value_refs = rest[:nl]
+    rep_refs = rest[nl:2 * nl]
+    repd_refs = rest[2 * nl:3 * nl]
+    dv_refs = rest[3 * nl:4 * nl]
+    dx_ref, dy_ref, daw_ref = rest[4 * nl:4 * nl + 3]
+    j_chunk = pl.program_id(1)
+
+    def tile_body(j, carry):
+        q0 = pl.multiple_of(j * tile, tile)
+        gt = g_ref[0, pl.ds(q0, tile), :].astype(jnp.bfloat16)       # (tile, D)
+        for l, (h, w) in enumerate(levels):
+            iw = jax.lax.broadcasted_iota(jnp.int32, (tile, w), 1).astype(jnp.float32)
+            ih = jax.lax.broadcasted_iota(jnp.int32, (tile, h), 1).astype(jnp.float32)
+            gxH = jnp.dot(gt, repd_refs[l][...],
+                          preferred_element_type=jnp.float32
+                          ).astype(jnp.bfloat16)                     # once per level
+            first_tile = jnp.logical_and(j_chunk == 0, j == 0)
+            for pi in range(p):
+                x = x_ref[0, l, pi, pl.ds(q0, tile)] * w - 0.5
+                y = y_ref[0, l, pi, pl.ds(q0, tile)] * h - 0.5
+                aw = aw_ref[0, l, pi, pl.ds(q0, tile)]
+                x0 = jnp.floor(x)
+                y0 = jnp.floor(y)
+                h0x, h1x, cx = _hat_pair(x0, x - x0, iw)             # (tile, W)
+                hy0, hy1, hy = _hat_pair(y0, y - y0, ih)             # (tile, H)
+                ry = (hy * aw[:, None]).astype(jnp.bfloat16)
+                cx_b = cx.astype(jnp.bfloat16)
+
+                ryx = jnp.dot(ry, rep_refs[l][...],
+                              preferred_element_type=jnp.float32
+                              ).astype(jnp.bfloat16)
+                a = jnp.dot(cx_b, value_refs[l][0],
+                            preferred_element_type=jnp.float32
+                            ).astype(jnp.bfloat16)
+                da = gxH * ryx
+
+                dv_part = jax.lax.dot_general(
+                    cx_b, da, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)              # (W, D*H)
+
+                first = jnp.logical_and(first_tile, pi == 0)
+
+                @pl.when(first)
+                def _():
+                    dv_refs[l][0] = dv_part
+
+                @pl.when(jnp.logical_not(first))
+                def _():
+                    dv_refs[l][0] = dv_refs[l][0] + dv_part
+
+                dcx = jax.lax.dot_general(
+                    da, value_refs[l][0], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)              # (tile, W)
+                # d/dx in pixel units; the caller's x is normalized, scale by W
+                dx_ref[0, l, pi, pl.ds(q0, tile)] = (
+                    (dcx * (h1x - h0x)).sum(axis=1) * w)
+
+                dry = jax.lax.dot_general(
+                    gxH * a, rep_refs[l][...], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)              # (tile, H)
+                daw_ref[0, l, pi, pl.ds(q0, tile)] = (dry * hy).sum(axis=1)
+                dy_ref[0, l, pi, pl.ds(q0, tile)] = (
+                    aw * (dry * (hy1 - hy0)).sum(axis=1) * h)
+        return carry
+
+    jax.lax.fori_loop(0, tiles_per_chunk, tile_body, 0)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 6, 7))
+def ms_deform_attn_pallas_bwd_cm(
+    value: Array,                 # (N, S, M, D)
+    spatial_shapes: Shapes,
+    x_cm: Array,                  # (N, M, L, P, Lq) normalized
+    y_cm: Array,
+    aw_cm: Array,
+    grad_out: Array,              # (N, Lq, M*D) cotangent
+    tile_q: int = 256,
+    interpret: bool = False,
+):
+    """Returns (d_value, d_x_cm, d_y_cm, d_aw_cm) — dq grads in CM layout."""
+    n, s, m, d = value.shape
+    _, _, l, p, lq = x_cm.shape
+    nm = n * m
+
+    v_levels = _fold_value_levels(value, spatial_shapes)
+    tile_q, pad, qtot, chunk, tiles_per_chunk = _cm_tiling(lq, tile_q)
+    n_chunks = qtot // chunk
+
+    def fold(a):
+        a = a.astype(jnp.float32).reshape(nm, l, p, lq)
+        return jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, pad))) if pad else a
+
+    xf, yf, awf = fold(x_cm), fold(y_cm), fold(aw_cm)
+
+    g = grad_out.astype(jnp.float32).reshape(n, lq, m, d).transpose(0, 2, 1, 3)
+    g = g.reshape(nm, lq, d)
+    if pad:
+        g = jnp.pad(g, ((0, 0), (0, pad), (0, 0)))
+
+    reps, _ = _constants(spatial_shapes, d)
+    repds = [jnp.asarray(r, jnp.bfloat16) for r in _repd_np(spatial_shapes, d)]
+
+    qspec = pl.BlockSpec((1, l, p, chunk), lambda i, j: (i, 0, 0, j),
+                         memory_space=pltpu.VMEM)
+    gspec = pl.BlockSpec((1, chunk, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM)
+    vspecs = [pl.BlockSpec((1, w, d * h), lambda i, j: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+              for (h, w) in spatial_shapes]
+    rspecs = [pl.BlockSpec((h, d * h), lambda i, j: (0, 0),
+                           memory_space=pltpu.VMEM)
+              for (h, w) in spatial_shapes]
+    rdspecs = [pl.BlockSpec((d, d * h), lambda i, j: (0, 0),
+                            memory_space=pltpu.VMEM)
+               for (h, w) in spatial_shapes]
+    dv_specs = [pl.BlockSpec((1, w, d * h), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+                for (h, w) in spatial_shapes]
+    dq_spec = pl.BlockSpec((1, l, p, chunk), lambda i, j: (i, 0, 0, j),
+                           memory_space=pltpu.VMEM)
+
+    out_shapes = (
+        [jax.ShapeDtypeStruct((nm, w, d * h), jnp.float32)
+         for (h, w) in spatial_shapes]
+        + [jax.ShapeDtypeStruct((nm, l, p, qtot), jnp.float32)] * 3
+    )
+    outs = pl.pallas_call(
+        functools.partial(_msda_cm_bwd_kernel, spatial_shapes, d, p, tile_q,
+                          tiles_per_chunk),
+        out_shape=tuple(out_shapes),
+        grid=(nm, n_chunks),
+        in_specs=[qspec] * 3 + [gspec] + vspecs + rspecs + rdspecs,
+        out_specs=tuple(dv_specs + [dq_spec] * 3),
+        interpret=interpret,
+    )(xf, yf, awf, g, *v_levels, *reps, *repds)
+    dvs = outs[:l]
+    dxg, dyg, dawg = outs[l:]
+
+    dv_parts = []
+    for (hh, ww), dv in zip(spatial_shapes, dvs):
+        dv = dv.reshape(nm, ww, d, hh).transpose(0, 3, 1, 2)   # (NM, H, W, D)
+        dv_parts.append(dv.reshape(nm, hh * ww, d))
+    d_value = jnp.concatenate(dv_parts, axis=1).reshape(n, m, s, d)
+    d_value = d_value.transpose(0, 2, 1, 3).astype(value.dtype)
+
+    def unfold(a):  # (NM, L, P, QTOT) -> (N, M, L, P, Lq): reshape + slice only
+        return a[:, :, :, :lq].reshape(n, m, l, p, lq)
+
+    return (d_value, unfold(dxg).astype(x_cm.dtype),
+            unfold(dyg).astype(y_cm.dtype), unfold(dawg).astype(aw_cm.dtype))

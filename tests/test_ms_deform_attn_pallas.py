@@ -75,3 +75,71 @@ def test_pallas_backward_matches_autodiff_interpret(rng):
         got, ref = np.asarray(got, np.float32), np.asarray(ref, np.float32)
         scale = max(np.abs(ref).max(), 1e-6)
         np.testing.assert_allclose(got / scale, ref / scale, atol=6e-3)
+
+
+def _to_cm(locs, attn):
+    """standard (N, Lq, M, L, P[, 2]) -> channel-major (N, M, L, P, Lq)."""
+    x_cm = jnp.transpose(locs[..., 0], (0, 2, 3, 4, 1))
+    y_cm = jnp.transpose(locs[..., 1], (0, 2, 3, 4, 1))
+    aw_cm = jnp.transpose(attn, (0, 2, 3, 4, 1))
+    return x_cm, y_cm, aw_cm
+
+
+def test_pallas_cm_matches_gather_interpret(rng):
+    """Channel-major forward kernel (P-sum before the SEL matmul) vs gather."""
+    from ocpg_tpu.ops.ms_deform_attn_pallas import ms_deform_attn_pallas_cm
+
+    value, locs, attn = _inputs(rng)
+    expected = ms_deform_attn(value, SHAPES, locs, attn)
+    got = ms_deform_attn_pallas_cm(value, SHAPES, *_to_cm(locs, attn), 128, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_fast_cm_dispatcher_grads_match_gather_autodiff(rng):
+    """ms_deform_attn_fast_cm (xla fallback path) forward + grads vs gather."""
+    from ocpg_tpu.ops.ms_deform_attn import ms_deform_attn_fast_cm
+
+    value, locs, attn = _inputs(rng)
+    x_cm, y_cm, aw_cm = _to_cm(locs, attn)
+
+    out = ms_deform_attn_fast_cm(value, SHAPES, x_cm, y_cm, aw_cm, "xla")
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ms_deform_attn(value, SHAPES, locs, attn)),
+        rtol=1e-5, atol=1e-5)
+
+    def loss_cm(v, x, y, a):
+        return (ms_deform_attn_fast_cm(v, SHAPES, x, y, a, "separable") ** 2).sum()
+
+    def loss_gather(v, l, a):
+        return (ms_deform_attn(v, SHAPES, l, a) ** 2).sum()
+
+    gv, gx, gy, ga = jax.grad(loss_cm, argnums=(0, 1, 2, 3))(value, x_cm, y_cm, aw_cm)
+    gv_ref, gl_ref, ga_ref = jax.grad(loss_gather, argnums=(0, 1, 2))(value, locs, attn)
+    gx_ref, gy_ref, ga_ref_cm = _to_cm(gl_ref, ga_ref)
+    for a, b in ((gv, gv_ref), (gx, gx_ref), (gy, gy_ref), (ga, ga_ref_cm)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_cm_backward_matches_autodiff_interpret(rng):
+    """CM Pallas backward vs autodiff of the gather formulation."""
+    from ocpg_tpu.ops.ms_deform_attn_pallas import ms_deform_attn_pallas_bwd_cm
+
+    value, locs, attn = _inputs(rng)
+    x_cm, y_cm, aw_cm = _to_cm(locs, attn)
+    g = jnp.asarray(np.random.default_rng(7).random(
+        (value.shape[0], locs.shape[1], value.shape[2] * value.shape[3])),
+        jnp.float32)
+
+    def loss(v, l, a):
+        return (ms_deform_attn(v, SHAPES, l, a) * g).sum()
+
+    dv_ref, dl_ref, da_ref = jax.grad(loss, argnums=(0, 1, 2))(value, locs, attn)
+    dx_ref, dy_ref, daw_ref = _to_cm(dl_ref, da_ref)
+    dv, dx, dy, daw = ms_deform_attn_pallas_bwd_cm(
+        value, SHAPES, x_cm, y_cm, aw_cm, g, 128, True)
+    for got, ref in ((dv, dv_ref), (dx, dx_ref), (dy, dy_ref), (daw, daw_ref)):
+        got, ref = np.asarray(got, np.float32), np.asarray(ref, np.float32)
+        scale = max(np.abs(ref).max(), 1e-6)
+        np.testing.assert_allclose(got / scale, ref / scale, atol=6e-3)
