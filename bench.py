@@ -7,6 +7,11 @@ perturbs the input — so iterations execute sequentially on-device and only a
 scalar returns to the host.  This is robust on the tunneled "axon" platform,
 where `block_until_ready` returns before execution finishes (async dispatch)
 and per-call host transfers would measure tunnel bandwidth, not the chip.
+Per-step time = median over 5 paired runs of (t_32iter - t_4iter) / 28: the
+wide separation swamps the tunnel's per-call latency variance and the
+paired-median discards transient stalls (a small-separation subtraction was
+measured unstable; validated against jax.profiler device-time totals,
+PROFILE.md).
 
 Baseline note: the reference repo publishes no numbers (README is two lines;
 see BASELINE.md).  `vs_baseline` is measured fps divided by ESTIMATED_A100_FPS,
@@ -37,7 +42,11 @@ ESTIMATED_A100_FPS = 50.0  # estimated reference clip-frames/sec on one A100
 # bench shape: 5-frame clip at the reference's inference scale (Resize 360,
 # max_size 640 -> padded canvas 384x640, /32-aligned)
 FRAMES, HEIGHT, WIDTH = 5, 384, 640
-ITERS = 8
+# Long/short chain lengths: per-step time = (t_long - t_short)/(LONG - SHORT).
+# The wide separation (28 on-device iterations) swamps the tunnel's per-call
+# dispatch-latency variance, which made small-separation subtractions
+# unstable (cross-checked against jax.profiler device-time totals).
+ITERS_LONG, ITERS_SHORT, REPEATS = 32, 4, 5
 
 
 def main():
@@ -81,18 +90,22 @@ def main():
         return carry
 
     # warmup / compile (both lengths)
-    float(chained(params, samples, 1))
-    float(chained(params, samples, ITERS))
+    float(chained(params, samples, ITERS_SHORT))
+    float(chained(params, samples, ITERS_LONG))
 
-    # timed: subtract the 1-iter run to cancel dispatch/transfer overhead
-    t0 = time.perf_counter()
-    float(chained(params, samples, ITERS))
-    t_many = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(chained(params, samples, 1))
-    t_one = time.perf_counter() - t0
+    def run_once(n_iters):
+        t0 = time.perf_counter()
+        float(chained(params, samples, n_iters))
+        return time.perf_counter() - t0
 
-    dt = max((t_many - t_one) / (ITERS - 1), 1e-9)
+    # median of paired long/short deltas: a transient tunnel stall in any
+    # single call corrupts only its own pair, and the median discards it
+    deltas = []
+    for _ in range(REPEATS):
+        t_long = run_once(ITERS_LONG)
+        t_short = run_once(ITERS_SHORT)
+        deltas.append((t_long - t_short) / (ITERS_LONG - ITERS_SHORT))
+    dt = max(sorted(deltas)[len(deltas) // 2], 1e-9)
     fps = FRAMES / dt
     tag = "a2d_r101" if backbone == "resnet101" else f"a2d_{backbone}"
     print(json.dumps({

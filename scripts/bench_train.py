@@ -8,7 +8,11 @@ Same chained-`lax.scan` methodology as bench.py: N train steps run inside one
 jitted program with the TrainState as the scan carry, so iterations execute
 sequentially on-device and only scalars return to the host — robust on the
 tunneled "axon" platform where per-call timing measures tunnel latency.
-The 1-iter run is subtracted to cancel dispatch/compile-cache overhead.
+Per-step time = median over 3 paired runs of (t_16iter - t_2iter) / 14 — the
+wide separation swamps per-call dispatch-latency variance and the paired
+median discards transient tunnel stalls (small-separation subtraction was
+measured unstable; numbers cross-checked against jax.profiler device-time
+totals).
 
 This is the committed source of the PROFILE.md "Training step" numbers
 (round-2 performance pass evidence; the reference equivalent is the eager
@@ -37,7 +41,8 @@ def main():
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--backbone", default="resnet101")
     ap.add_argument("--batch", type=int, default=1)
-    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=16)
+    ap.add_argument("--iters_short", type=int, default=2)
     ap.add_argument("--trace", action="store_true",
                     help="capture a jax.profiler trace and print the op breakdown")
     ap.add_argument("--trace_dir", default="/tmp/ocpg_profile_train")
@@ -84,20 +89,24 @@ def main():
         return s, losses
 
     print("warmup/compile ...", flush=True)
-    state, losses = chained(state, batch, 1)
+    state, losses = chained(state, batch, args.iters_short)
     state, losses = chained(state, batch, args.iters)
     float(losses[-1])
 
-    t0 = time.perf_counter()
-    state, losses = chained(state, batch, args.iters)
-    float(losses[-1])
-    t_many = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    state, losses = chained(state, batch, 1)
-    float(losses[-1])
-    t_one = time.perf_counter() - t0
+    def run_once(n_iters):
+        nonlocal state, losses
+        t0 = time.perf_counter()
+        state, losses = chained(state, batch, n_iters)
+        float(losses[-1])
+        return time.perf_counter() - t0
 
-    dt = max((t_many - t_one) / (args.iters - 1), 1e-9)
+    # median of paired long/short deltas (transient-stall robust, see bench.py)
+    deltas = []
+    for _ in range(3):
+        t_long = run_once(args.iters)
+        t_short = run_once(args.iters_short)
+        deltas.append((t_long - t_short) / (args.iters - args.iters_short))
+    dt = max(sorted(deltas)[len(deltas) // 2], 1e-9)
     fps = args.batch * args.frames / dt
     print(f"train step: {dt*1e3:.1f} ms/step = {fps:.1f} train-frames/sec/chip "
           f"({args.backbone}, {args.batch}x{args.frames}f "
