@@ -57,6 +57,7 @@ def main():
     cfg = OCPGConfig(backbone=args.backbone, dataset_file=args.dataset_file,
                      supervision="full", num_frames=args.num_frames, lr=args.lr,
                      batch_size=args.batch_size, epochs=args.epochs, seed=args.seed)
+    jax.config.update("jax_default_prng_impl", cfg.prng_impl)
 
     ann_dir = Path(args.refexp_ann_dir or args.coco_path)
     names = ["refcoco", "refcoco+", "refcocog"] if args.dataset_file == "all" else [args.dataset_file]

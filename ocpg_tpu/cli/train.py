@@ -62,6 +62,8 @@ def get_args():
                    choices=["bfloat16", "float32"])
     p.add_argument("--msda_impl", default=None,
                    choices=["auto", "pallas", "separable", "xla"])
+    p.add_argument("--prng_impl", default=None, choices=["rbg", "threefry"],
+                   help="dropout PRNG; rbg is ~10 ms/step faster (PROFILE.md)")
     # observability (reference util/logger.py, engine.py:63-77)
     p.add_argument("--tb_every", type=int, default=200)
     p.add_argument("--debug_images_every", type=int, default=0,
@@ -102,12 +104,15 @@ def main():
     for flag in ("lr_backbone", "lr_text_encoder", "lr_linear_proj_mult",
                  "weight_decay", "clip_max_norm", "num_feature_levels",
                  "num_queries", "enc_layers", "dec_layers", "compute_dtype",
-                 "msda_impl"):
+                 "msda_impl", "prng_impl"):
         v = getattr(args, flag)
         if v is not None:
             cfg = cfg.replace(**{flag: v})
     if args.lr_drop is not None:
         cfg = cfg.replace(lr_drop=tuple(args.lr_drop))
+    # dropout PRNG: 'rbg' lowers to XLA RngBitGenerator — the big dropout
+    # masks cost ~10 ms/step less than threefry at train shapes (PROFILE.md)
+    jax.config.update("jax_default_prng_impl", cfg.prng_impl)
 
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)

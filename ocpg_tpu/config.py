@@ -98,6 +98,11 @@ class OCPGConfig:
     # * Parallelism: mesh axis sizes; data axis shards (batch*time)
     data_parallel: int = 1
 
+    # Dropout PRNG implementation: 'rbg' (XLA RngBitGenerator) generates the
+    # large dropout masks ~10 ms/step cheaper than 'threefry' at train shapes
+    # (PROFILE.md); 'threefry' keeps JAX's default splittable PRNG.
+    prng_impl: str = "rbg"
+
     seed: int = 42
 
     @property

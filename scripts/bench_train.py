@@ -59,6 +59,7 @@ def main():
     cfg = ytvos_r101_boxsup().replace(compute_dtype="bfloat16",
                                       backbone=args.backbone,
                                       num_frames=args.frames)
+    jax.config.update("jax_default_prng_impl", cfg.prng_impl)  # production default
     model, _, criterion_cfg, weight_dict = build_model(cfg)
     rng = np.random.default_rng(0)
     host = synthetic_batch(rng, batch=args.batch, frames=args.frames,
