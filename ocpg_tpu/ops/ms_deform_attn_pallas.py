@@ -212,14 +212,16 @@ def ms_deform_attn_pallas(
 
 @functools.lru_cache(maxsize=1)
 def pallas_available() -> bool:
-    """Probe whether the kernel compiles and runs on the default backend."""
+    """Probe whether the production (channel-major) kernel compiles and runs
+    on the default backend."""
     try:
         import numpy as np
 
         v = jnp.asarray(np.random.default_rng(0).random((1, 20, 2, 8)), jnp.float32)
-        locs = jnp.asarray(np.random.default_rng(1).random((1, 3, 2, 1, 2, 2)), jnp.float32)
-        attn = jnp.ones((1, 3, 2, 1, 2), jnp.float32) / 2
-        out = ms_deform_attn_pallas(v, ((4, 5),), locs, attn, 128)
+        x = jnp.asarray(np.random.default_rng(1).random((1, 2, 1, 2, 3)), jnp.float32)
+        y = jnp.asarray(np.random.default_rng(2).random((1, 2, 1, 2, 3)), jnp.float32)
+        attn = jnp.ones((1, 2, 1, 2, 3), jnp.float32) / 2
+        out = ms_deform_attn_pallas_cm(v, ((4, 5),), x, y, attn, 128)
         return bool(jnp.isfinite(out).all())
     except Exception:
         return False
