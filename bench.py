@@ -58,10 +58,13 @@ def main():
     from ocpg_tpu.data.synthetic import synthetic_batch
 
     backbone = os.environ.get("OCPG_BENCH_BACKBONE", "resnet101")
+    # OCPG_BENCH_BATCH>1 measures batched serving throughput (several clips
+    # per dispatch, as ClipInferenceEngine(per_device_batch>1) issues them)
+    bsz = int(os.environ.get("OCPG_BENCH_BATCH", "1"))
     cfg = a2d_r101_boxsup().replace(compute_dtype="bfloat16", backbone=backbone)
     model, *_ = build_model(cfg)
     rng = np.random.default_rng(0)
-    batch = synthetic_batch(rng, batch=1, frames=FRAMES, height=HEIGHT, width=WIDTH)
+    batch = synthetic_batch(rng, batch=bsz, frames=FRAMES, height=HEIGHT, width=WIDTH)
 
     samples = jnp.asarray(batch["samples"])
     args = (
@@ -69,7 +72,7 @@ def main():
         jnp.asarray(batch["text_ids"]), jnp.asarray(batch["text_mask"]),
         jnp.asarray(batch["targets"]["size"]),
     )
-    vi = jnp.zeros((1,), jnp.int32)
+    vi = jnp.zeros((bsz,), jnp.int32)
     params = jax.jit(
         lambda: model.init(jax.random.PRNGKey(0), samples, *args,
                            valid_indices=vi, train=False)
@@ -106,8 +109,10 @@ def main():
         t_short = run_once(ITERS_SHORT)
         deltas.append((t_long - t_short) / (ITERS_LONG - ITERS_SHORT))
     dt = max(sorted(deltas)[len(deltas) // 2], 1e-9)
-    fps = FRAMES / dt
+    fps = bsz * FRAMES / dt
     tag = "a2d_r101" if backbone == "resnet101" else f"a2d_{backbone}"
+    if bsz > 1:
+        tag += f"_b{bsz}"
     print(json.dumps({
         "metric": f"clip_frames_per_sec_per_chip_{tag}",
         "value": round(fps, 2),

@@ -31,6 +31,9 @@ def get_args():
     p.add_argument("--backbone", default="resnet101")
     p.add_argument("--split", default="valid")
     p.add_argument("--clip_len", type=int, default=36)
+    p.add_argument("--per_device_batch", type=int, default=1,
+                   help=">1 batches several clips per chip per dispatch "
+                        "(higher throughput, higher per-request latency)")
     p.add_argument("--resize", type=int, default=360)
     p.add_argument("--max_size", type=int, default=640)
     p.add_argument("--tokenizer_path", default=None)
@@ -74,7 +77,9 @@ def init_engine(cfg, args, example_frames, tokenizer):
         from ..engine.checkpoint import load_params
 
         params = load_params(args.checkpoint, params)
-    return model, ClipInferenceEngine(model, params, clip_len=args.clip_len)
+    return model, ClipInferenceEngine(
+        model, params, clip_len=args.clip_len,
+        per_device_batch=getattr(args, "per_device_batch", 1))
 
 
 def main():

@@ -29,6 +29,8 @@ def get_args():
     p.add_argument("--backbone", default="resnet101")
     p.add_argument("--split", default="valid")
     p.add_argument("--clip_len", type=int, default=36)
+    p.add_argument("--per_device_batch", type=int, default=1,
+                   help=">1 batches several clips per chip per dispatch")
     p.add_argument("--resize", type=int, default=360)
     p.add_argument("--max_size", type=int, default=640)
     p.add_argument("--threshold", type=float, default=0.5)

@@ -58,14 +58,18 @@ class ClipInferenceEngine:
 
     def __init__(self, model, params, mesh: Optional[Mesh] = None,
                  clip_len: int = 36,
-                 buckets: Sequence[Tuple[int, int]] = DEFAULT_BUCKETS):
+                 buckets: Sequence[Tuple[int, int]] = DEFAULT_BUCKETS,
+                 per_device_batch: int = 1):
         self.model = model
         self.clip_len = clip_len
         self.buckets = tuple(buckets)
         if mesh is None:
             mesh = Mesh(np.asarray(jax.devices()), ("data",))
         self.mesh = mesh
-        self.n_dev = mesh.devices.size
+        # requests per SPMD dispatch = n_dev * per_device_batch; batching >1
+        # clip per chip raises MXU utilization for small models (throughput
+        # numbers in PROFILE.md) at the cost of per-request latency
+        self.slots = mesh.devices.size * max(1, per_device_batch)
         self._fns: Dict[Tuple[int, int], object] = {}   # bucket -> jitted fn
         repl = NamedSharding(mesh, P())
         self.params = jax.device_put(params, repl)
@@ -106,17 +110,17 @@ class ClipInferenceEngine:
         for bucket, idxs in order.items():
             bh, bw = bucket
             fn = self._fn(bucket)
-            for base in range(0, len(idxs), self.n_dev):
-                group = idxs[base:base + self.n_dev]
-                pad_b = self.n_dev - len(group)
-                samples = np.zeros((self.n_dev, self.clip_len, bh, bw, 3), np.float32)
-                mask = np.ones((self.n_dev, self.clip_len, bh, bw), bool)
+            for base in range(0, len(idxs), self.slots):
+                group = idxs[base:base + self.slots]
+                pad_b = self.slots - len(group)
+                samples = np.zeros((self.slots, self.clip_len, bh, bw, 3), np.float32)
+                mask = np.ones((self.slots, self.clip_len, bh, bw), bool)
                 lt = requests[group[0]].text_ids.shape[-1]
-                ids = np.full((self.n_dev, lt), 1, np.int32)
+                ids = np.full((self.slots, lt), 1, np.int32)
                 ids[:, 0] = 0
-                attn = np.zeros((self.n_dev, lt), np.int32)
+                attn = np.zeros((self.slots, lt), np.int32)
                 attn[:, 0] = 1
-                sizes = np.ones((self.n_dev, 2), np.int32)
+                sizes = np.ones((self.slots, 2), np.int32)
                 for j, ridx in enumerate(group):
                     r = requests[ridx]
                     t, h, w = r.frames.shape[:3]

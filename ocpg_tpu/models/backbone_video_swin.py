@@ -103,12 +103,18 @@ class WindowAttention3D(nn.Module):
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(bw, n, 3, h, dh).transpose(2, 0, 3, 1, 4)      # (3, B, H, N, Dh)
         q, k, v = qkv[0] * (dh ** -0.5), qkv[1], qkv[2]
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k).astype(jnp.float32) + bias
+        # logits stay in compute dtype (f32 matmul accumulation): the
+        # (bw, H, N, N) buffer is the backbone's largest HBM tenant — bf16
+        # halves its traffic; under f32 compute this is numerically identical
+        # to the reference's fp32 softmax path
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                          preferred_element_type=jnp.float32).astype(self.dtype)
+        attn = attn + bias.astype(self.dtype)
         if mask is not None:
             nw = mask.shape[0]
-            attn = attn.reshape(bw // nw, nw, h, n, n) + mask[None, :, None]
+            attn = attn.reshape(bw // nw, nw, h, n, n) + jnp.asarray(mask, self.dtype)[None, :, None]
             attn = attn.reshape(bw, h, n, n)
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(bw, n, c)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)

@@ -494,8 +494,11 @@ def _msda_cm_kernel(levels, d, p, tile, tiles_per_chunk,
                 ryx = jnp.dot(ry, rep_refs[l][...],
                               preferred_element_type=jnp.float32
                               ).astype(jnp.bfloat16)                 # (tile, D*H)
+                # P-sum before SEL in f32 (bf16 accumulation measured the
+                # same speed and costs precision — the kernel is matmul-MFU
+                # bound, ~35% at these shapes, PROFILE.md)
                 prod = (a * ryx).astype(jnp.float32)
-                acc = prod if acc is None else acc + prod            # P-sum first
+                acc = prod if acc is None else acc + prod
             prods.append(acc.astype(jnp.bfloat16))
         prod = jnp.concatenate(prods, axis=1)                        # (tile, sum D*H_l)
         out = jnp.dot(prod, sel_ref[...],

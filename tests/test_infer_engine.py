@@ -91,3 +91,28 @@ def test_engine_matches_direct_forward(rng, tiny_engine):
         jnp.asarray([[64, 64]], jnp.int32), train=False)["pred_masks"]
     np.testing.assert_allclose(got, np.asarray(direct)[0, :, 0],
                                rtol=1e-4, atol=1e-4)
+
+
+def test_engine_per_device_batch(rng, tiny_engine):
+    """per_device_batch>1 packs several clips per chip per dispatch and
+    produces the same results as the 1-per-chip engine."""
+    model, params, engine1 = tiny_engine
+    mesh = Mesh(np.asarray(jax.devices("cpu")[:8]), ("data",))
+    engine2 = ClipInferenceEngine(model, params, mesh=mesh, clip_len=2,
+                                  buckets=((64, 64),), per_device_batch=2)
+    assert engine2.slots == 16
+    lt = 8
+    reqs = []
+    for i in range(10):
+        t = 1 + (i % 2)
+        frames = rng.standard_normal((t, 64, 64, 3)).astype(np.float32)
+        ids = np.full((lt,), 1, np.int32)
+        ids[0] = 0
+        reqs.append(InferRequest(frames, ids, np.ones((lt,), np.int32)))
+    out1 = engine1.run(reqs)
+    n1 = engine1.n_batches
+    out2 = engine2.run(reqs)
+    # 10 requests over 16 slots -> one dispatch
+    assert engine2.n_batches == 1 and n1 >= 2
+    for a, b in zip(out1, out2):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
