@@ -164,31 +164,32 @@ def compute_criterion(
     """
     num_boxes = jnp.clip(targets["valid"].astype(jnp.float32).sum(), 1.0, None)
     ldec = outputs["outputs_class"].shape[0]
+
+    # One vmapped body over the decoder-layer axis instead of a Python loop
+    # (reference criterion.py:241-252 loops per aux layer): the elementwise
+    # loss work batches into (L, ...) fusions — fewer, larger kernels on TPU.
+    # Numerically identical to the unrolled loop.
+    def layer_losses(cls_l, coord_l, matched, pm_l, pml_l):
+        out = {"loss_ce": loss_labels(cfg, cls_l, targets["labels"],
+                                      targets["valid"], matched, num_boxes)}
+        boxes_sel = jnp.take_along_axis(
+            coord_l, matched[:, None, None, None], axis=2)[:, :, 0]
+        out["loss_bbox"], out["loss_giou"] = loss_boxes(
+            boxes_sel, targets["boxes"], num_boxes)
+        out.update(loss_masks(
+            cfg, pm_l, pml_l, outputs["ls_features"], targets["weights"],
+            targets["weak_masks"], targets["boxes"], targets["size"], step))
+        return out
+
+    per_layer = jax.vmap(layer_losses)(
+        outputs["outputs_class"], outputs["outputs_coord"], outputs["matched"],
+        outputs["pred_masks_layers"], outputs["pred_masks_low_layers"])
+
     losses: Dict[str, Array] = {}
     for lvl in range(ldec):
         suffix = "" if lvl == ldec - 1 else f"_{lvl}"
-        matched = outputs["matched"][lvl]
-        losses[f"loss_ce{suffix}"] = loss_labels(
-            cfg, outputs["outputs_class"][lvl], targets["labels"], targets["valid"],
-            matched, num_boxes)
-        boxes_sel = jnp.take_along_axis(
-            outputs["outputs_coord"][lvl], matched[:, None, None, None], axis=2
-        )[:, :, 0]
-        l1, giou = loss_boxes(boxes_sel, targets["boxes"], num_boxes)
-        losses[f"loss_bbox{suffix}"] = l1
-        losses[f"loss_giou{suffix}"] = giou
-        mask_losses = loss_masks(
-            cfg,
-            outputs["pred_masks_layers"][lvl],
-            outputs["pred_masks_low_layers"][lvl],
-            outputs["ls_features"],
-            targets["weights"],
-            targets["weak_masks"],
-            targets["boxes"],
-            targets["size"],
-            step,
-        )
-        losses.update({f"{k}{suffix}": v for k, v in mask_losses.items()})
+        for k, v in per_layer.items():
+            losses[f"{k}{suffix}"] = v[lvl]
 
     total = sum(losses[k] * weight_dict[k] for k in losses if k in weight_dict)
     return total, losses
