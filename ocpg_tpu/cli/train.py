@@ -80,7 +80,7 @@ def main():
     from ..data.datasets import build_dataset
     from ..data.loader import ClipLoader
     from ..engine import build_optimizer, create_train_state, make_train_step
-    from ..engine.checkpoint import CheckpointManager, restore_params_into
+    from ..engine.checkpoint import CheckpointManager
     from ..models import build_model
     from ..models.text_encoder import SimpleTokenizer
     from ..parallel import create_mesh, replicate, shard_batch
@@ -142,11 +142,9 @@ def main():
     )
 
     if args.pretrained_weights:
-        from ..utils.torch_weights import load_torch_file
+        from ..engine.checkpoint import load_pretrained_torch
 
-        src = load_torch_file(args.pretrained_weights)
-        params = dict(params)
-        params["params"] = restore_params_into(params["params"], src)
+        params = load_pretrained_torch(params, args.pretrained_weights, cfg)
 
     steps_per_epoch = max(len(dataset) // (cfg.batch_size * jax.device_count()), 1)
     # linear LR scaling by device count (main.py:266-276)

@@ -75,3 +75,31 @@ def restore_params_into(target_params: dict, source_params: dict,
         return tgt
 
     return merge(target_params, source_params)
+
+
+def load_pretrained_torch(variables: dict, path: str, cfg) -> dict:
+    """`--pretrained_weights` loader (reference main.py:141-147 + utils.py:5-13).
+
+    Accepts either a raw reference OCPG ``.pth`` (flat torch key strings —
+    converted through ``torch_weights.convert_ocpg`` over the full param
+    surface, class heads dropped for finetuning) or an already-converted
+    nested params tree.  Returns new variables with params (and, for raw
+    checkpoints, the FrozenBN ``frozen`` collection) merged in.
+    """
+    from ..utils.torch_weights import convert_ocpg, load_torch_file
+
+    src = load_torch_file(path)
+    out = dict(variables)
+    if isinstance(src, dict) and any(
+            isinstance(k, str) and "." in k for k in src):
+        conv_params, conv_frozen = convert_ocpg(
+            src, enc_layers=cfg.enc_layers, dec_layers=cfg.dec_layers,
+            num_feature_levels=cfg.num_feature_levels, backbone=cfg.backbone,
+            text_layers=cfg.text_layers, with_box_refine=cfg.with_box_refine)
+        out["params"] = restore_params_into(out["params"], conv_params)
+        if "frozen" in out and conv_frozen:
+            out["frozen"] = restore_params_into(
+                out["frozen"], conv_frozen, drop_prefixes=())
+    else:
+        out["params"] = restore_params_into(out["params"], src)
+    return out

@@ -249,3 +249,59 @@ def test_train_step_debug_images_output():
     pred = np.asarray(metrics["debug_pred"])
     assert pred.shape == (h, w)
     assert np.isfinite(pred).all() and 0.0 <= pred.min() and pred.max() <= 1.0
+
+
+def test_load_pretrained_torch_reference_pth(tmp_path, rng):
+    """--pretrained_weights with a RAW reference-style .pth (flat torch keys)
+    must convert through convert_ocpg and actually change the params —
+    reference main.py:141-147 finetune flow, class heads dropped."""
+    torch = pytest.importorskip("torch")
+    from transformers import RobertaConfig as HFConfig
+
+    from tests.torch_replica import OCPGReplica
+    from ocpg_tpu.config import OCPGConfig
+    from ocpg_tpu.engine.checkpoint import load_pretrained_torch
+    from ocpg_tpu.models import build_model
+
+    hf_cfg = HFConfig(vocab_size=1000, hidden_size=128, num_hidden_layers=2,
+                      num_attention_heads=4, intermediate_size=256,
+                      max_position_embeddings=40, type_vocab_size=1,
+                      pad_token_id=1, layer_norm_eps=1e-5)
+    replica = OCPGReplica(hf_cfg, resnet_layers=(3, 4, 6, 3), enc=1, dec=2,
+                          ffn=64, queries=5).eval()
+    path = tmp_path / "ref_checkpoint.pth"
+    torch.save({"model": replica.state_dict()}, path)
+
+    cfg = OCPGConfig(backbone="resnet50", enc_layers=1, dec_layers=2,
+                     dim_feedforward=64, num_queries=5, num_frames=2,
+                     compute_dtype="float32", dataset_file="davis",
+                     text_layers=2, text_hidden=128, text_heads=4,
+                     text_ffn=256, text_vocab=1000, text_max_pos=40,
+                     msda_impl="xla")
+    model, *_ = build_model(cfg)
+    import jax
+    import jax.numpy as jnp
+
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 2, 64, 64, 3)),
+        jnp.zeros((1, 2, 64, 64), bool), jnp.zeros((1, 8), jnp.int32),
+        jnp.ones((1, 8), jnp.int32), jnp.asarray([[64, 64]], jnp.int32),
+        train=False)
+    before = np.asarray(
+        variables["params"]["transformer"]["level_embed"])
+    before_cls = np.asarray(variables["params"]["class_embed_0"]["kernel"])
+
+    loaded = load_pretrained_torch(dict(variables), str(path), cfg)
+
+    after = np.asarray(loaded["params"]["transformer"]["level_embed"])
+    expected = replica.state_dict()["transformer.level_embed"].numpy()
+    assert not np.allclose(after, before)
+    np.testing.assert_allclose(after, expected, rtol=1e-6)
+    # class heads are dropped for finetuning (utils.py:5-13)
+    np.testing.assert_array_equal(
+        np.asarray(loaded["params"]["class_embed_0"]["kernel"]), before_cls)
+    # FrozenBN stats came along
+    rm = loaded["frozen"]["backbone"]["bn1"]["running_mean"]
+    np.testing.assert_allclose(
+        np.asarray(rm), replica.state_dict()["backbone.0.body.bn1.running_mean"].numpy(),
+        rtol=1e-6)
