@@ -54,9 +54,17 @@ def main():
         train=False,
     )
     if args.checkpoint:
-        from ..engine.checkpoint import load_params
+        import os
 
-        params = load_params(args.checkpoint, params)
+        if os.path.isfile(args.checkpoint):  # reference-style torch .pth
+            from ..engine.checkpoint import load_pretrained_torch
+
+            params = load_pretrained_torch(params, args.checkpoint, cfg,
+                                           drop_class_heads=False)
+        else:
+            from ..engine.checkpoint import load_params
+
+            params = load_params(args.checkpoint, params)
 
     metrics = evaluate_a2d(model, params, loader, args.dataset_file,
                            invert_masks=args.invert_masks)

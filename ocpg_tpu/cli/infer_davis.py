@@ -74,9 +74,19 @@ def init_engine(cfg, args, example_frames, tokenizer):
         jnp.zeros((1, t, h, w), bool), jnp.asarray(ids), jnp.asarray(attn),
         jnp.asarray([[h, w]], jnp.int32), train=False)
     if args.checkpoint:
-        from ..engine.checkpoint import load_params
+        import os
 
-        params = load_params(args.checkpoint, params)
+        if os.path.isfile(args.checkpoint):
+            # a reference-style torch .pth file: convert in place (class
+            # heads kept — this is inference, not finetuning)
+            from ..engine.checkpoint import load_pretrained_torch
+
+            params = load_pretrained_torch(params, args.checkpoint, cfg,
+                                           drop_class_heads=False)
+        else:
+            from ..engine.checkpoint import load_params
+
+            params = load_params(args.checkpoint, params)
     return model, ClipInferenceEngine(
         model, params, clip_len=args.clip_len,
         per_device_batch=getattr(args, "per_device_batch", 1))

@@ -77,17 +77,21 @@ def restore_params_into(target_params: dict, source_params: dict,
     return merge(target_params, source_params)
 
 
-def load_pretrained_torch(variables: dict, path: str, cfg) -> dict:
+def load_pretrained_torch(variables: dict, path: str, cfg,
+                          drop_class_heads: bool = True) -> dict:
     """`--pretrained_weights` loader (reference main.py:141-147 + utils.py:5-13).
 
     Accepts either a raw reference OCPG ``.pth`` (flat torch key strings —
     converted through ``torch_weights.convert_ocpg`` over the full param
-    surface, class heads dropped for finetuning) or an already-converted
-    nested params tree.  Returns new variables with params (and, for raw
-    checkpoints, the FrozenBN ``frozen`` collection) merged in.
+    surface) or an already-converted nested params tree.  With
+    ``drop_class_heads`` (the finetune default) the class heads keep their
+    fresh init; pass False to load a checkpoint for inference/eval.  Returns
+    new variables with params (and, for raw checkpoints, the FrozenBN
+    ``frozen`` collection) merged in.
     """
     from ..utils.torch_weights import convert_ocpg, load_torch_file
 
+    drop = ("class_embed",) if drop_class_heads else ()
     src = load_torch_file(path)
     out = dict(variables)
     if isinstance(src, dict) and any(
@@ -96,10 +100,12 @@ def load_pretrained_torch(variables: dict, path: str, cfg) -> dict:
             src, enc_layers=cfg.enc_layers, dec_layers=cfg.dec_layers,
             num_feature_levels=cfg.num_feature_levels, backbone=cfg.backbone,
             text_layers=cfg.text_layers, with_box_refine=cfg.with_box_refine)
-        out["params"] = restore_params_into(out["params"], conv_params)
+        out["params"] = restore_params_into(out["params"], conv_params,
+                                            drop_prefixes=drop)
         if "frozen" in out and conv_frozen:
             out["frozen"] = restore_params_into(
                 out["frozen"], conv_frozen, drop_prefixes=())
     else:
-        out["params"] = restore_params_into(out["params"], src)
+        out["params"] = restore_params_into(out["params"], src,
+                                            drop_prefixes=drop)
     return out
