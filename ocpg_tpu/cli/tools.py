@@ -94,6 +94,26 @@ def davis_to_ytvos(davis_root: str, output: str):
         print(f"{split}: {len(videos)} videos")
 
 
+def convert_checkpoint(source: str, output: str, backbone: str = "resnet101",
+                       enc_layers: int = 4, dec_layers: int = 4,
+                       num_feature_levels: int = 4, text_layers: int = 12):
+    """One-time reference .pth -> orbax conversion (tools/load_pretrained_weights.py
+    analogue, plus the full-framework weight conversion).  The output
+    directory is consumable by every `--checkpoint` flag (engine
+    checkpoint.load_params)."""
+    from ..engine.checkpoint import CheckpointManager
+    from ..utils.torch_weights import convert_ocpg, load_torch_file
+
+    sd = load_torch_file(source)
+    params, frozen = convert_ocpg(
+        sd, enc_layers=enc_layers, dec_layers=dec_layers,
+        num_feature_levels=num_feature_levels, backbone=backbone,
+        text_layers=text_layers)
+    CheckpointManager(output, max_to_keep=1).save(
+        0, {"params": {"params": params, "frozen": frozen}})
+    print(f"converted {source} -> {output}")
+
+
 def main():
     p = argparse.ArgumentParser("ocpg_tpu data tools")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -105,9 +125,21 @@ def main():
     p2 = sub.add_parser("davis2ytvos")
     p2.add_argument("--davis_root", required=True)
     p2.add_argument("--output", required=True)
+    p3 = sub.add_parser("convert_checkpoint")
+    p3.add_argument("--source", required=True, help="reference OCPG .pth")
+    p3.add_argument("--output", required=True, help="orbax checkpoint dir")
+    p3.add_argument("--backbone", default="resnet101")
+    p3.add_argument("--enc_layers", type=int, default=4)
+    p3.add_argument("--dec_layers", type=int, default=4)
+    p3.add_argument("--num_feature_levels", type=int, default=4)
+    p3.add_argument("--text_layers", type=int, default=12)
     args = p.parse_args()
     if args.cmd == "refexp2coco":
         refexp_to_coco(args.refer_root, args.dataset, args.split_by, args.output)
+    elif args.cmd == "convert_checkpoint":
+        convert_checkpoint(args.source, args.output, args.backbone,
+                           args.enc_layers, args.dec_layers,
+                           args.num_feature_levels, args.text_layers)
     else:
         davis_to_ytvos(args.davis_root, args.output)
 

@@ -305,3 +305,47 @@ def test_load_pretrained_torch_reference_pth(tmp_path, rng):
     np.testing.assert_allclose(
         np.asarray(rm), replica.state_dict()["backbone.0.body.bn1.running_mean"].numpy(),
         rtol=1e-6)
+
+
+def test_convert_checkpoint_tool_roundtrip(tmp_path, rng):
+    """tools convert_checkpoint: reference .pth -> orbax dir -> load_params."""
+    torch = pytest.importorskip("torch")
+    from transformers import RobertaConfig as HFConfig
+
+    from tests.torch_replica import OCPGReplica
+    from ocpg_tpu.cli.tools import convert_checkpoint
+    from ocpg_tpu.config import OCPGConfig
+    from ocpg_tpu.engine.checkpoint import load_params
+    from ocpg_tpu.models import build_model
+
+    hf_cfg = HFConfig(vocab_size=1000, hidden_size=128, num_hidden_layers=2,
+                      num_attention_heads=4, intermediate_size=256,
+                      max_position_embeddings=40, type_vocab_size=1,
+                      pad_token_id=1, layer_norm_eps=1e-5)
+    replica = OCPGReplica(hf_cfg, resnet_layers=(3, 4, 6, 3), enc=1, dec=2,
+                          ffn=64, queries=5).eval()
+    src = tmp_path / "ref.pth"
+    torch.save(replica.state_dict(), src)
+    out_dir = tmp_path / "converted"
+    convert_checkpoint(str(src), str(out_dir), backbone="resnet50",
+                       enc_layers=1, dec_layers=2, text_layers=2)
+
+    cfg = OCPGConfig(backbone="resnet50", enc_layers=1, dec_layers=2,
+                     dim_feedforward=64, num_queries=5, num_frames=2,
+                     compute_dtype="float32", dataset_file="davis",
+                     text_layers=2, text_hidden=128, text_heads=4,
+                     text_ffn=256, text_vocab=1000, text_max_pos=40,
+                     msda_impl="xla")
+    model, *_ = build_model(cfg)
+    import jax
+    import jax.numpy as jnp
+
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 2, 64, 64, 3)),
+        jnp.zeros((1, 2, 64, 64), bool), jnp.zeros((1, 8), jnp.int32),
+        jnp.ones((1, 8), jnp.int32), jnp.asarray([[64, 64]], jnp.int32),
+        train=False)
+    loaded = load_params(str(out_dir), dict(variables))
+    np.testing.assert_allclose(
+        np.asarray(loaded["params"]["transformer"]["level_embed"]),
+        replica.state_dict()["transformer.level_embed"].numpy(), rtol=1e-6)
