@@ -40,7 +40,9 @@ def main():
                      num_frames=args.num_frames)
     root = args.a2d_path if args.dataset_file == "a2d" else args.jhmdb_path
     dataset = build_dataset(args.dataset_file, root, "val", cfg.num_frames)
-    loader = ClipLoader(dataset, args.batch_size,
+    # batch axis shards over the device mesh in evaluate_a2d; the loader pads
+    # the tail batch (real_count) so every sample is still scored
+    loader = ClipLoader(dataset, args.batch_size * jax.device_count(),
                         tokenizer=SimpleTokenizer(args.tokenizer_path), train=False)
 
     model, *_ = build_model(cfg)

@@ -76,8 +76,14 @@ class ClipLoader:
         if self.train:
             rng.shuffle(order)
         order = order[self.shard_index::self.shard_count]
-        # drop remainder for static batch shapes
+        # static batch shapes: train drops the remainder (one fewer step);
+        # eval must cover every sample, so the tail batch is padded by
+        # repeating the last sample and carries "real_count" for the eval
+        # loops to slice on
         n_batches = len(order) // self.batch_size
+        tail = len(order) - n_batches * self.batch_size
+        if not self.train and tail:
+            n_batches += 1
         q: "queue_mod.Queue" = queue_mod.Queue(maxsize=self.num_workers * 2)
         stop = threading.Event()
 
@@ -87,8 +93,13 @@ class ClipLoader:
                 if stop.is_set():
                     return
                 idxs = order[bi * self.batch_size:(bi + 1) * self.batch_size]
+                real = len(idxs)
+                idxs = idxs + [idxs[-1]] * (self.batch_size - real)
                 entries = [self._load_one(i, wrng) for i in idxs]
-                q.put((bi, self._collate(entries)))
+                batch = self._collate(entries)
+                if real < self.batch_size:
+                    batch["real_count"] = real
+                q.put((bi, batch))
             q.put((None, None))
 
         threads = [threading.Thread(target=worker, args=(w,), daemon=True)

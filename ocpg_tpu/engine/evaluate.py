@@ -18,26 +18,60 @@ from ..evaluation.rle import rle_encode
 from ..models.postprocessors import a2d_postprocess, refcoco_postprocess
 
 
+def _eval_forward(model, params, outputs, mesh=None):
+    """Jitted eval forward sharded over a 1-D data mesh.
+
+    The reference shards eval across GPUs via DDP + pickled all_gather
+    (engine.py:126-194); here the batch axis shards over `mesh` as one SPMD
+    program (single-device meshes are the degenerate no-op case).
+    """
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if mesh is None:
+        mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    params = jax.device_put(params, repl)
+
+    def fwd(params, *args):
+        # 6 trailing args means the last is valid_indices (a2d/jhmdb path)
+        out = model.apply(params, *args[:-1], valid_indices=args[-1], train=False) \
+            if len(args) == 6 else model.apply(params, *args, train=False)
+        return tuple(out[k] for k in outputs)
+
+    jitted = {}
+
+    def run(*args):
+        import jax.numpy as jnp
+
+        n_in = len(args)
+        if n_in not in jitted:
+            jitted[n_in] = jax.jit(fwd, in_shardings=(repl,) + (data,) * n_in,
+                                   out_shardings=data)
+        placed = [jax.device_put(jnp.asarray(a), data) for a in args]
+        return jitted[n_in](params, *placed)
+
+    return run
+
+
 def evaluate_a2d(model, params, loader, dataset_name: str = "a2d",
-                 invert_masks: bool = False) -> Dict[str, float]:
+                 invert_masks: bool = False, mesh=None) -> Dict[str, float]:
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def forward(params, samples, samples_mask, ids, attn, sizes, vi):
-        out = model.apply(params, samples, samples_mask, ids, attn, sizes,
-                          valid_indices=vi, train=False)
-        return out["pred_logits"], out["pred_masks"]
+    forward = _eval_forward(model, params, ("pred_logits", "pred_masks"), mesh)
 
     predictions: List[Dict] = []
     ground_truths: List[Dict] = []
     img_counter = 0
     for batch in loader.epoch(0):
+        real = int(batch.get("real_count", len(batch["samples"])))
         vi = jnp.asarray(batch.get("valid_indices", np.zeros(len(batch["samples"]), np.int32)))
         logits, masks = forward(
-            params, jnp.asarray(batch["samples"]), jnp.asarray(batch["samples_mask"]),
-            jnp.asarray(batch["text_ids"]), jnp.asarray(batch["text_mask"]),
-            jnp.asarray(batch["targets"]["size"]), vi)
+            batch["samples"], batch["samples_mask"],
+            batch["text_ids"], batch["text_mask"],
+            batch["targets"]["size"], vi)
         logits = np.asarray(logits)
         masks = np.asarray(masks)
         sizes = np.asarray(batch["targets"]["size"])
@@ -54,7 +88,7 @@ def evaluate_a2d(model, params, loader, dataset_name: str = "a2d",
         orig_masks = batch.get("orig_masks")
         gt_masks = np.asarray(batch["targets"]["masks"])
         vi_np = np.asarray(vi)
-        for i, res in enumerate(results):
+        for i, res in enumerate(results[:real]):
             image_id = f"img_{img_counter}"
             img_counter += 1
             for q in range(len(res["scores"])):
@@ -76,7 +110,7 @@ def evaluate_a2d(model, params, loader, dataset_name: str = "a2d",
     return _metrics(predictions, ground_truths)
 
 
-def evaluate_refexp_loop(model, params, loader) -> Dict[str, float]:
+def evaluate_refexp_loop(model, params, loader, mesh=None) -> Dict[str, float]:
     """RefCOCO val evaluation: bbox P@k + segm P@K/IoU/mAP.
 
     Mirrors the reference pretrain eval (`/root/reference/main_pretrain.py:
@@ -88,11 +122,8 @@ def evaluate_refexp_loop(model, params, loader) -> Dict[str, float]:
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def forward(params, samples, samples_mask, ids, attn, sizes):
-        out = model.apply(params, samples, samples_mask, ids, attn, sizes,
-                          train=False)
-        return out["pred_logits"], out["pred_boxes"], out["pred_masks"]
+    forward = _eval_forward(
+        model, params, ("pred_logits", "pred_boxes", "pred_masks"), mesh)
 
     box_preds: List[Dict] = []
     box_gts: List[Dict] = []
@@ -100,10 +131,10 @@ def evaluate_refexp_loop(model, params, loader) -> Dict[str, float]:
     segm_gts: List[Dict] = []
     img_counter = 0
     for batch in loader.epoch(0):
+        real = int(batch.get("real_count", len(batch["samples"])))
         logits, boxes, masks = forward(
-            params, jnp.asarray(batch["samples"]), jnp.asarray(batch["samples_mask"]),
-            jnp.asarray(batch["text_ids"]), jnp.asarray(batch["text_mask"]),
-            jnp.asarray(batch["targets"]["size"]))
+            batch["samples"], batch["samples_mask"],
+            batch["text_ids"], batch["text_mask"], batch["targets"]["size"])
         logits, boxes, masks = map(np.asarray, (logits, boxes, masks))
         sizes = np.asarray(batch["targets"]["size"])
         orig_sizes = np.asarray(batch["targets"].get("orig_size", sizes))
@@ -115,7 +146,7 @@ def evaluate_refexp_loop(model, params, loader) -> Dict[str, float]:
         gt_boxes = np.asarray(batch["targets"]["boxes"])     # normalized cxcywh
         orig_masks = batch.get("orig_masks")
         gt_masks = np.asarray(batch["targets"]["masks"])
-        for i in range(len(box_results)):
+        for i in range(real):
             image_id = img_counter
             img_counter += 1
             box_preds.append({
