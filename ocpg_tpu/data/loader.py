@@ -16,7 +16,7 @@ from typing import Dict, Iterator, Optional, Tuple
 
 import numpy as np
 
-from .transforms import Clip, pad_to_canvas, train_transform, val_transform, canvas_for
+from .transforms import Clip, _resize_clip, pad_to_canvas, train_transform, val_transform, canvas_for
 from ..models.text_encoder import SimpleTokenizer
 
 
@@ -54,6 +54,18 @@ class ClipLoader:
             orig_size = clip.size                      # dataset-native (h, w)
             orig_masks = None if self.train else clip.masks.astype(np.uint8)
             clip = train_transform(clip) if self.train else val_transform(clip)
+            # fit-to-canvas guard: the transform's shorter-side scales cap the
+            # LONGER side at max_size (reference transforms_video semantics),
+            # so a portrait-aspect crop can exceed the canvas height (e.g.
+            # 563x448 vs 512x640).  The reference pads to per-batch max
+            # (util/misc.py:354-379) so it never cares; a static canvas must
+            # downscale such clips to fit.
+            ch, cw = self.canvas
+            h, w = clip.size
+            if h > ch or w > cw:
+                scale = min(ch / h, cw / w)
+                clip = _resize_clip(
+                    clip, (max(1, int(h * scale)), max(1, int(w * scale))))
             if clip.valid.any() or not self.train:
                 entry = pad_to_canvas(clip, self.canvas)
                 entry["targets"]["orig_size"] = np.asarray(orig_size, np.int32)
@@ -89,18 +101,21 @@ class ClipLoader:
 
         def worker(worker_id: int):
             wrng = random.Random(self.seed * 1000 + epoch * 17 + worker_id)
-            for bi in range(worker_id, n_batches, self.num_workers):
-                if stop.is_set():
-                    return
-                idxs = order[bi * self.batch_size:(bi + 1) * self.batch_size]
-                real = len(idxs)
-                idxs = idxs + [idxs[-1]] * (self.batch_size - real)
-                entries = [self._load_one(i, wrng) for i in idxs]
-                batch = self._collate(entries)
-                if real < self.batch_size:
-                    batch["real_count"] = real
-                q.put((bi, batch))
-            q.put((None, None))
+            try:
+                for bi in range(worker_id, n_batches, self.num_workers):
+                    if stop.is_set():
+                        return
+                    idxs = order[bi * self.batch_size:(bi + 1) * self.batch_size]
+                    real = len(idxs)
+                    idxs = idxs + [idxs[-1]] * (self.batch_size - real)
+                    entries = [self._load_one(i, wrng) for i in idxs]
+                    batch = self._collate(entries)
+                    if real < self.batch_size:
+                        batch["real_count"] = real
+                    q.put((bi, batch))
+                q.put((None, None))
+            except BaseException as e:  # propagate instead of deadlocking epoch()
+                q.put((None, e))
 
         threads = [threading.Thread(target=worker, args=(w,), daemon=True)
                    for w in range(self.num_workers)]
@@ -111,6 +126,8 @@ class ClipLoader:
             while finished < self.num_workers:
                 bi, batch = q.get()
                 if bi is None:
+                    if isinstance(batch, BaseException):
+                        raise batch
                     finished += 1
                     continue
                 yield batch

@@ -187,3 +187,28 @@ def test_refer_api_and_refexp2coco(tmp_path):
     assert len(train["annotations"]) == 2
     assert (out_dir / "instances_refcoco_val.json").exists()
     assert (out_dir / "instances_refcoco_testA.json").exists()
+
+
+def test_eval_loader_covers_all_samples(ytvos_root):
+    """Eval iteration must score every sample: the tail batch is padded
+    (repeating the last sample) and carries real_count for slicing."""
+    from ocpg_tpu.data.datasets import YTVOSDataset
+    from ocpg_tpu.data.loader import ClipLoader
+
+    ds = YTVOSDataset(str(ytvos_root), num_frames=2, supervision="box")
+    assert len(ds) == 6
+    loader = ClipLoader(ds, batch_size=4, train=False, canvas=(512, 640),
+                        num_workers=2)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 2                       # ceil(6 / 4)
+    reals = [b.get("real_count", len(b["samples"])) for b in batches]
+    assert sorted(reals) == [2, 4]                 # 6 samples total
+    for b in batches:
+        assert b["samples"].shape[0] == 4          # static batch shape
+
+    # train mode keeps drop-remainder semantics (static step count)
+    tr = ClipLoader(ds, batch_size=4, train=True, canvas=(512, 640),
+                    num_workers=2)
+    tr_batches = list(tr.epoch(0))
+    assert len(tr_batches) == 1
+    assert "real_count" not in tr_batches[0]
