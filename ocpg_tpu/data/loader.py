@@ -53,7 +53,10 @@ class ClipLoader:
             clip = rec.clip
             orig_size = clip.size                      # dataset-native (h, w)
             orig_masks = None if self.train else clip.masks.astype(np.uint8)
-            clip = train_transform(clip) if self.train else val_transform(clip)
+            # the worker's seeded rng drives the transforms too — otherwise
+            # they'd fall back to the global `random` module (thread-shared,
+            # run-to-run nondeterministic)
+            clip = train_transform(clip, rng=rng) if self.train else val_transform(clip)
             # fit-to-canvas guard: the transform's shorter-side scales cap the
             # LONGER side at max_size (reference transforms_video semantics),
             # so a portrait-aspect crop can exceed the canvas height (e.g.
@@ -121,16 +124,29 @@ class ClipLoader:
                    for w in range(self.num_workers)]
         for th in threads:
             th.start()
+        # reorder buffer: yield batches in index order so an epoch is fully
+        # deterministic regardless of worker scheduling (the consumer always
+        # drains the queue, so `pending` — not the bounded queue — absorbs
+        # out-of-order completions and workers never deadlock)
+        pending: Dict[int, Dict] = {}
+        next_bi = 0
         finished = 0
         try:
-            while finished < self.num_workers:
+            while next_bi < n_batches:
+                if next_bi in pending:
+                    yield pending.pop(next_bi)
+                    next_bi += 1
+                    continue
+                if finished == self.num_workers:
+                    raise RuntimeError(
+                        f"loader workers exited with batch {next_bi} missing")
                 bi, batch = q.get()
                 if bi is None:
                     if isinstance(batch, BaseException):
                         raise batch
                     finished += 1
                     continue
-                yield batch
+                pending[bi] = batch
         finally:
             stop.set()
 

@@ -212,3 +212,27 @@ def test_eval_loader_covers_all_samples(ytvos_root):
     tr_batches = list(tr.epoch(0))
     assert len(tr_batches) == 1
     assert "real_count" not in tr_batches[0]
+
+
+def test_loader_deterministic_across_runs(ytvos_root):
+    """Two loaders with the same seed must produce identical batches
+    (epoch-seeded determinism incl. the transform rng — reference
+    DistributedSampler semantics, datasets/samplers.py:16-72)."""
+    from ocpg_tpu.data.datasets import YTVOSDataset
+    from ocpg_tpu.data.loader import ClipLoader
+
+    ds = YTVOSDataset(str(ytvos_root), num_frames=2, supervision="box")
+
+    def run():
+        loader = ClipLoader(ds, batch_size=2, train=True, canvas=(512, 640),
+                            num_workers=2, seed=7)
+        return {bi: b for bi, b in enumerate(loader.epoch(3))}
+
+    a, b = run(), run()
+    assert a.keys() == b.keys()
+    tot = 0.0
+    for k in a:
+        np.testing.assert_array_equal(a[k]["samples"], b[k]["samples"])
+        np.testing.assert_array_equal(a[k]["targets"]["boxes"], b[k]["targets"]["boxes"])
+        tot += float(np.abs(a[k]["samples"]).sum())
+    assert tot > 0
