@@ -171,7 +171,9 @@ def main():
                 img = Image.fromarray(merged[fi])
                 if palette is not None:
                     img.putpalette(palette)
-                img.save(out_dir / f"{fi:05d}.png")
+                # original frame names — the scorer looks results up by the
+                # GT frame id (davis_eval reads f"{fid}.png")
+                img.save(out_dir / f"{frames[fi]}.png")
         print(f"done {video} ({len(requests)} clips, "
               f"{engine.compile_count} compiled programs)", flush=True)
 
