@@ -236,3 +236,75 @@ def test_loader_deterministic_across_runs(ytvos_root):
         np.testing.assert_array_equal(a[k]["targets"]["boxes"], b[k]["targets"]["boxes"])
         tot += float(np.abs(a[k]["samples"]).sum())
     assert tot > 0
+
+
+@pytest.fixture(scope="module")
+def a2d_root(tmp_path_factory):
+    """Synthetic A2D-Sentences layout: mp4 clip + instance h5 + annotation csv."""
+    cv2 = pytest.importorskip("cv2")
+    root = tmp_path_factory.mktemp("a2d")
+    vid = "vidA"
+    h, w, n_frames = 64, 80, 8
+    (root / "Release" / "clips320H").mkdir(parents=True)
+    (root / "text_annotations" / "a2d_annotation_with_instances" / vid).mkdir(parents=True)
+
+    rng = np.random.default_rng(1)
+    writer = cv2.VideoWriter(
+        str(root / "Release" / "clips320H" / f"{vid}.mp4"),
+        cv2.VideoWriter_fourcc(*"mp4v"), 10, (w, h))
+    for _ in range(n_frames):
+        writer.write((rng.random((h, w, 3)) * 255).astype(np.uint8))
+    writer.release()
+
+    # annotated frame 4 (1-indexed), instance 2; reMask stored TRANSPOSED
+    mask = np.zeros((h, w), np.uint8)
+    mask[20:40, 30:60] = 1
+    heat = np.zeros((1, h, w), np.float32)
+    heat[0, 18:42, 28:62] = 0.8
+    with h5py.File(root / "text_annotations" / "a2d_annotation_with_instances"
+                   / vid / "00004.h5", "w") as f:
+        f.create_dataset("instance", data=np.asarray([2]))
+        f.create_dataset("reMask", data=mask.T)
+        f.create_dataset("heatBBox", data=heat)
+        f.create_dataset("heatPoint", data=heat)
+
+    with open(root / "text_annotations" / "a2d_annotation.txt", "w") as f:
+        f.write("video_id,instance_id,query\n")
+        f.write(f"{vid},2,a person running left\n")
+    with open(root / "Release" / "videoset.csv", "w") as f:
+        f.write(f"{vid},x,x,x,x,x,x,x,0\n")
+    return root
+
+
+def test_a2d_reader(a2d_root):
+    """A2D reader: mp4 decode, transposed reMask, heat weak boxes,
+    valid_indices on the annotated frame (reference datasets/a2d.py)."""
+    import random as random_mod
+
+    from ocpg_tpu.data.datasets import A2DSentencesDataset
+
+    ds = A2DSentencesDataset(str(a2d_root), num_frames=3, supervision="box",
+                             split="train")
+    assert len(ds) == 1
+    rec = ds.get_clip(0, random_mod.Random(0))
+    clip = rec.clip
+    assert clip.frames.shape == (3, 64, 80, 3)
+    # single annotated frame: (1, h, w) targets + valid_indices
+    assert clip.masks.shape == (1, 64, 80)
+    assert rec.valid_indices is not None
+    # reMask was stored transposed; the reader must undo it
+    ys, xs = np.where(clip.masks[0] > 0)
+    assert ys.min() == 20 and ys.max() == 39
+    assert xs.min() == 30 and xs.max() == 59
+    assert clip.valid[0] == 1
+    assert clip.boxes.shape == (1, 4)
+    x0, y0, x1, y1 = clip.boxes[0]
+    assert 25 <= x0 <= 32 and 15 <= y0 <= 22
+    assert clip.caption == "a person running left"
+
+    # val split centers the window on the annotated frame
+    ds_val = A2DSentencesDataset(str(a2d_root), num_frames=3,
+                                 supervision="box", split="train")
+    rec2 = ds_val.get_clip(0, random_mod.Random(1))
+    assert rec2.clip.weights.shape == (1, 64, 80)
+    assert rec2.clip.weights.max() > 0
