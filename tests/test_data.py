@@ -308,3 +308,62 @@ def test_a2d_reader(a2d_root):
     rec2 = ds_val.get_clip(0, random_mod.Random(1))
     assert rec2.clip.weights.shape == (1, 64, 80)
     assert rec2.clip.weights.max() > 0
+
+
+def test_jhmdb_reader_deterministic(tmp_path_factory):
+    """JHMDB reader: .mat puppet masks, centered window, and deterministic
+    per-sample frame choice (two eval runs -> identical clips)."""
+    sio = pytest.importorskip("scipy.io")
+    root = tmp_path_factory.mktemp("jhmdb")
+    vid = "vidJ"
+    h, w, n_frames = 48, 64, 6
+    rng = np.random.default_rng(2)
+    (root / "Rename_Images" / "catch" / vid).mkdir(parents=True)
+    (root / "puppet_mask" / "catch" / vid).mkdir(parents=True)
+    for i in range(n_frames):
+        img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(root / "Rename_Images" / "catch" / vid / f"{i+1:05d}.png")
+    puppet = np.zeros((h, w, 4), np.uint8)   # 4 annotated frames
+    puppet[10:30, 20:50, :] = 1
+    sio.savemat(root / "puppet_mask" / "catch" / vid / "puppet_mask.mat",
+                {"part_mask": puppet})
+    with open(root / "jhmdb_annotation.txt", "w") as f:
+        f.write("video_id,query\n")
+        f.write(f"{vid},someone catching a ball\n")
+
+    import random as random_mod
+
+    from ocpg_tpu.data.datasets import JHMDBSentencesDataset
+
+    ds = JHMDBSentencesDataset(str(root), num_frames=3)
+    assert len(ds) == 1
+    rec1 = ds.get_clip(0, random_mod.Random(0))
+    rec2 = ds.get_clip(0, random_mod.Random(999))  # caller rng must not matter
+    np.testing.assert_array_equal(rec1.clip.frames, rec2.clip.frames)
+    assert rec1.valid_indices == rec2.valid_indices
+    clip = rec1.clip
+    assert clip.frames.shape == (3, h, w, 3)
+    assert clip.masks.shape == (1, h, w)
+    assert clip.valid[0] == 1
+    ys, xs = np.where(clip.masks[0] > 0)
+    assert ys.min() == 10 and xs.max() == 49
+    assert clip.caption == "someone catching a ball"
+
+
+def test_davis_reader(ytvos_root, tmp_path_factory):
+    """Ref-DAVIS reader: ytvos-style metas with fully-supervised palette masks."""
+    from ocpg_tpu.data.datasets import DAVISDataset
+
+    # the ytvos fixture layout matches DAVIS' (meta_expressions + JPEGImages +
+    # Annotations); reuse it as a DAVIS root
+    import random as random_mod
+
+    ds = DAVISDataset(str(ytvos_root), num_frames=3, split="train")
+    assert len(ds) > 0
+    rec = ds.get_clip(0, random_mod.Random(0))
+    clip = rec.clip
+    assert clip.frames.shape == (3, 64, 80, 3)
+    assert clip.masks.shape == (3, 64, 80)
+    assert clip.masks.max() == 1.0            # object id 1 selected
+    assert clip.valid.any()
+    assert (clip.boxes[:, 2] > clip.boxes[:, 0]).all()
