@@ -37,7 +37,16 @@ def get_args():
     p.add_argument("--resize", type=int, default=360)
     p.add_argument("--max_size", type=int, default=640)
     p.add_argument("--tokenizer_path", default=None)
+    p.add_argument("--config_overrides", default=None,
+                   help="JSON dict of OCPGConfig field overrides "
+                        "(e.g. tiny models for smoke/e2e tests)")
     return p.parse_args()
+
+
+def apply_overrides(cfg, args):
+    if getattr(args, "config_overrides", None):
+        cfg = cfg.replace(**json.loads(args.config_overrides))
+    return cfg
 
 
 def load_frames(img_folder: Path, video: str, frame_names, resize, max_size):
@@ -102,7 +111,7 @@ def main():
     from ..models.text_encoder import SimpleTokenizer
     from ..ops.image import bilinear_resize
 
-    cfg = OCPGConfig(backbone=args.backbone, dataset_file="davis")
+    cfg = apply_overrides(OCPGConfig(backbone=args.backbone, dataset_file="davis"), args)
     tokenizer = SimpleTokenizer(args.tokenizer_path)
 
     root = Path(args.davis_path)

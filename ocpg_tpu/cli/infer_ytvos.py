@@ -35,6 +35,8 @@ def get_args():
     p.add_argument("--max_size", type=int, default=640)
     p.add_argument("--threshold", type=float, default=0.5)
     p.add_argument("--tokenizer_path", default=None)
+    p.add_argument("--config_overrides", default=None,
+                   help="JSON dict of OCPGConfig field overrides")
     return p.parse_args()
 
 
@@ -47,9 +49,9 @@ def main():
     from ..engine.infer import InferRequest
     from ..models.text_encoder import SimpleTokenizer
     from ..ops.image import bilinear_resize
-    from .infer_davis import init_engine, load_frames
+    from .infer_davis import apply_overrides, init_engine, load_frames
 
-    cfg = OCPGConfig(backbone=args.backbone, dataset_file="ytvos")
+    cfg = apply_overrides(OCPGConfig(backbone=args.backbone, dataset_file="ytvos"), args)
     tokenizer = SimpleTokenizer(args.tokenizer_path)
 
     root = Path(args.ytvos_path)

@@ -127,7 +127,10 @@ def main():
         # per-epoch refcoco val (main_pretrain.py:138-170 / engine.py:197-300)
         params_now = jax.device_get(state.params)
         for n, val_ds in val_loaders:
-            val_loader = ClipLoader(val_ds, args.eval_batch_size,
+            # evaluate_refexp_loop shards the batch over the full device mesh:
+            # scale by device_count (as cli/evaluate.py does) so device_put
+            # with P('data') divides evenly; tail padding keeps shapes static.
+            val_loader = ClipLoader(val_ds, args.eval_batch_size * jax.device_count(),
                                     tokenizer=tokenizer, train=False,
                                     seed=cfg.seed)
             stats = evaluate_refexp_loop(eval_model, params_now, val_loader)

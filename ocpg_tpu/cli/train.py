@@ -22,7 +22,8 @@ import numpy as np
 def get_args():
     p = argparse.ArgumentParser("ocpg_tpu training")
     p.add_argument("--dataset_file", default="ytvos",
-                   choices=["ytvos", "a2d", "davis"])
+                   choices=["ytvos", "a2d", "davis",
+                            "joint", "joint_coco", "ytvos_joint_davis"])
     p.add_argument("--backbone", default="resnet101")
     p.add_argument("--supervision", default="box", choices=["full", "box", "point"])
     p.add_argument("--batch_size", type=int, default=1)
@@ -33,6 +34,10 @@ def get_args():
     p.add_argument("--ytvos_path", default=None)
     p.add_argument("--a2d_path", default=None)
     p.add_argument("--davis_path", default=None)
+    p.add_argument("--coco_path", default=None,
+                   help="COCO root for the joint refcoco-seq datasets")
+    p.add_argument("--refexp_ann_dir", default=None,
+                   help="dir of COCO-format referring JSONs for joint training")
     p.add_argument("--pretrained_weights", default=None)
     p.add_argument("--resume", default=None)
     p.add_argument("--seed", type=int, default=42)
@@ -118,10 +123,13 @@ def main():
     out_dir.mkdir(parents=True, exist_ok=True)
     (out_dir / "configs").write_text(str(cfg))  # config snapshot (main.py:38-39)
 
-    root = {"ytvos": args.ytvos_path, "a2d": args.a2d_path, "davis": args.davis_path}[
-        args.dataset_file]
+    root = {"ytvos": args.ytvos_path, "a2d": args.a2d_path, "davis": args.davis_path,
+            "joint": args.ytvos_path, "joint_coco": args.coco_path,
+            "ytvos_joint_davis": args.ytvos_path}[args.dataset_file]
     dataset = build_dataset(args.dataset_file, root, "train", cfg.num_frames,
-                            cfg.supervision)
+                            cfg.supervision, coco_path=args.coco_path,
+                            coco_ann_dir=args.refexp_ann_dir,
+                            davis_path=args.davis_path)
     tokenizer = SimpleTokenizer(args.tokenizer_path)
     loader = ClipLoader(dataset, cfg.batch_size * jax.device_count(),
                         tokenizer=tokenizer, train=True, seed=cfg.seed,

@@ -449,8 +449,17 @@ class DAVISDataset:
 
 
 def build_dataset(name: str, root: str, split: str, num_frames: int,
-                  supervision: str = "box"):
-    """Registry (datasets/__init__.py:23-51)."""
+                  supervision: str = "box", coco_path: str = None,
+                  coco_ann_dir: str = None, davis_path: str = None):
+    """Registry (datasets/__init__.py:23-51), including the joint-training
+    concats (concat_dataset.py:19-62):
+
+    - ``joint``: refcoco/+/g as pseudo-video clips ⊕ ytvos (``root`` is the
+      ytvos root; needs ``coco_path`` and optionally ``coco_ann_dir``)
+    - ``joint_coco``: refcoco/+/g pseudo-video only
+    - ``ytvos_joint_davis``: davis ×5 ⊕ ytvos (the ×5 oversampling matches
+      build_joint_ytb_dvs, concat_dataset.py:48-62)
+    """
     if name == "ytvos":
         return YTVOSDataset(root, num_frames, supervision, split)
     if name == "a2d":
@@ -459,4 +468,27 @@ def build_dataset(name: str, root: str, split: str, num_frames: int,
         return JHMDBSentencesDataset(root, num_frames)
     if name == "davis":
         return DAVISDataset(root, num_frames, split)
+    if name in ("joint", "joint_coco", "ytvos_joint_davis"):
+        from pathlib import Path
+
+        from .refexp import ConcatClipDataset, RefExpDataset
+
+        parts = []
+        if name in ("joint", "joint_coco"):
+            if not coco_path:
+                raise ValueError(f"dataset '{name}' needs coco_path")
+            ann_dir = Path(coco_ann_dir or coco_path)
+            for n in ("refcoco", "refcoco+", "refcocog"):
+                parts.append(RefExpDataset(
+                    str(Path(coco_path) / "train2014"),
+                    str(ann_dir / f"instances_{n}_{split}.json"),
+                    num_frames=num_frames, as_sequence=num_frames > 1))
+        if name == "ytvos_joint_davis":
+            if not davis_path:
+                raise ValueError("dataset 'ytvos_joint_davis' needs davis_path")
+            dvs = DAVISDataset(davis_path, num_frames, split)
+            parts.extend([dvs] * 5)
+        if name in ("joint", "ytvos_joint_davis"):
+            parts.append(YTVOSDataset(root, num_frames, supervision, split))
+        return ConcatClipDataset(parts)
     raise ValueError(f"unknown dataset {name}")

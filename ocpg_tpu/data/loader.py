@@ -102,6 +102,18 @@ class ClipLoader:
         q: "queue_mod.Queue" = queue_mod.Queue(maxsize=self.num_workers * 2)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # bounded put that still honours `stop`: a worker blocked in a
+            # plain q.put() would never observe stop when the consumer
+            # abandons the generator mid-epoch, leaking threads + batch memory
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue_mod.Full:
+                    continue
+            return False
+
         def worker(worker_id: int):
             wrng = random.Random(self.seed * 1000 + epoch * 17 + worker_id)
             try:
@@ -115,10 +127,11 @@ class ClipLoader:
                     batch = self._collate(entries)
                     if real < self.batch_size:
                         batch["real_count"] = real
-                    q.put((bi, batch))
-                q.put((None, None))
+                    if not put((bi, batch)):
+                        return
+                put((None, None))
             except BaseException as e:  # propagate instead of deadlocking epoch()
-                q.put((None, e))
+                put((None, e))
 
         threads = [threading.Thread(target=worker, args=(w,), daemon=True)
                    for w in range(self.num_workers)]

@@ -106,6 +106,13 @@ def load_pretrained_torch(variables: dict, path: str, cfg,
             out["frozen"] = restore_params_into(
                 out["frozen"], conv_frozen, drop_prefixes=())
     else:
-        out["params"] = restore_params_into(out["params"], src,
+        # already-converted nested tree: either a bare params tree or a full
+        # variables dict {'params': ..., 'frozen': ...} — merge the FrozenBN
+        # stats too so converted checkpoints don't keep fresh running stats
+        src_params = src.get("params", src) if isinstance(src, dict) else src
+        out["params"] = restore_params_into(out["params"], src_params,
                                             drop_prefixes=drop)
+        if isinstance(src, dict) and "frozen" in src and "frozen" in out:
+            out["frozen"] = restore_params_into(out["frozen"], src["frozen"],
+                                                drop_prefixes=())
     return out

@@ -177,4 +177,17 @@ def evaluate_refexp_loop(model, params, loader, mesh=None) -> Dict[str, float]:
                              "rle": rle_encode(gt.astype(np.uint8))})
     out = {f"bbox_{k}": v for k, v in _refexp_metrics(box_preds, box_gts).items()}
     out.update({f"segm_{k}": v for k, v in _metrics(segm_preds, segm_gts).items()})
+    # full CocoEvaluator bbox stats (AP/AP50/AP75, area ranges, maxDets) —
+    # the reference prints these for pretrain eval (engine.py:256-271,
+    # datasets/coco_eval.py:21-207)
+    from ..evaluation.coco_eval import CocoEvaluatorLite
+
+    coco_dts = [
+        {"image_id": p["image_id"], "score": float(s), "box": np.asarray(b, np.float64)}
+        for p in box_preds for s, b in zip(p["scores"], p["boxes"])
+    ]
+    coco_gts = [{"image_id": g["image_id"], "box": np.asarray(g["box"], np.float64)}
+                for g in box_gts]
+    out.update({f"coco_bbox_{k}": v
+                for k, v in CocoEvaluatorLite("bbox").evaluate(coco_dts, coco_gts).items()})
     return out

@@ -103,10 +103,11 @@ class WindowAttention3D(nn.Module):
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(bw, n, 3, h, dh).transpose(2, 0, 3, 1, 4)      # (3, B, H, N, Dh)
         q, k, v = qkv[0] * (dh ** -0.5), qkv[1], qkv[2]
-        # logits stay in compute dtype (f32 matmul accumulation): the
+        # logits stored in compute dtype (f32 matmul accumulation): the
         # (bw, H, N, N) buffer is the backbone's largest HBM tenant — bf16
-        # halves its traffic; under f32 compute this is numerically identical
-        # to the reference's fp32 softmax path
+        # halves its traffic.  The softmax itself runs in f32 (upcast fused
+        # into the reduction, downcast into the attn@v operand), matching the
+        # reference's AMP semantics: fp16 logits, autocast-fp32 softmax.
         attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
                           preferred_element_type=jnp.float32).astype(self.dtype)
         attn = attn + bias.astype(self.dtype)
@@ -114,7 +115,7 @@ class WindowAttention3D(nn.Module):
             nw = mask.shape[0]
             attn = attn.reshape(bw // nw, nw, h, n, n) + jnp.asarray(mask, self.dtype)[None, :, None]
             attn = attn.reshape(bw, h, n, n)
-        attn = jax.nn.softmax(attn, axis=-1)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(bw, n, c)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
@@ -259,6 +260,8 @@ _CONFIGS = {
     "video_swin_t_p4w7": dict(embed_dim=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24)),
     "video_swin_s_p4w7": dict(embed_dim=96, depths=(2, 2, 18, 2), num_heads=(3, 6, 12, 24)),
     "video_swin_b_p4w7": dict(embed_dim=128, depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32)),
+    # reduced arch for the full-model golden-parity tests (CPU-feasible)
+    "video_swin_test": dict(embed_dim=32, depths=(1, 1, 2, 1), num_heads=(1, 2, 4, 8)),
 }
 
 

@@ -118,12 +118,18 @@ class SimpleTokenizer:
         self.vocab_size = vocab_size
         self._hf = None
         if checkpoint_path:
-            try:
-                from transformers import RobertaTokenizerFast
+            # An explicit tokenizer path that fails to load must raise: silently
+            # degrading to hash tokens would produce garbage masks on a real
+            # checkpoint run with a typo'd --tokenizer_path.
+            from transformers import RobertaTokenizerFast
 
+            try:
                 self._hf = RobertaTokenizerFast.from_pretrained(checkpoint_path)
-            except Exception:
-                self._hf = None
+            except Exception as e:
+                raise ValueError(
+                    f"failed to load tokenizer from {checkpoint_path!r}: {e}; "
+                    "omit tokenizer_path to use the hermetic hash fallback"
+                ) from e
 
     def __call__(self, captions: List[str]) -> Tuple[np.ndarray, np.ndarray]:
         if self._hf is not None:
@@ -132,14 +138,19 @@ class SimpleTokenizer:
                 return_tensors="np",
             )
             return enc["input_ids"].astype(np.int32), enc["attention_mask"].astype(np.int32)
-        # hash fallback: <s> tokens </s> with deterministic per-word ids
+        # hash fallback: <s> tokens </s> with deterministic per-word ids.
+        # md5 (not Python hash()) so ids are identical across processes
+        # regardless of PYTHONHASHSEED — hermetic runs stay reproducible.
+        import hashlib
+
         ids = np.full((len(captions), self.max_len), 1, dtype=np.int32)  # pad_id = 1
         mask = np.zeros((len(captions), self.max_len), dtype=np.int32)
         for i, cap in enumerate(captions):
             words = cap.lower().split()[: self.max_len - 2]
             row = [0]  # <s>
             for wdx in words:
-                row.append(4 + (hash(wdx) % (self.vocab_size - 8)))
+                h = int.from_bytes(hashlib.md5(wdx.encode()).digest()[:8], "little")
+                row.append(4 + (h % (self.vocab_size - 8)))
             row.append(2)  # </s>
             ids[i, : len(row)] = row
             mask[i, : len(row)] = 1

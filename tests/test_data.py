@@ -367,3 +367,48 @@ def test_davis_reader(ytvos_root, tmp_path_factory):
     assert clip.masks.max() == 1.0            # object id 1 selected
     assert clip.valid.any()
     assert (clip.boxes[:, 2] > clip.boxes[:, 0]).all()
+
+
+def test_joint_registry(ytvos_root, tmp_path_factory):
+    """`joint` / `joint_coco` / `ytvos_joint_davis` registry entries
+    (reference: datasets/concat_dataset.py:19-62, datasets/__init__.py:30-46)."""
+    from ocpg_tpu.data.datasets import build_dataset
+
+    # minimal COCO-format refexp tree: train2014/ images + per-dataset JSONs
+    coco = tmp_path_factory.mktemp("coco")
+    (coco / "train2014").mkdir()
+    rng = np.random.default_rng(1)
+    img = (rng.random((32, 40, 3)) * 255).astype(np.uint8)
+    Image.fromarray(img).save(coco / "train2014" / "a.jpg")
+    ann = {
+        "images": [{"id": 1, "file_name": "a.jpg", "height": 32, "width": 40,
+                    "caption": "the red thing"}],
+        "annotations": [{"id": 1, "image_id": 1, "bbox": [4, 4, 12, 10],
+                         "segmentation": [[4, 4, 16, 4, 16, 14, 4, 14]],
+                         "category_id": 1}],
+        "categories": [{"id": 1, "name": "thing"}],
+    }
+    for n in ("refcoco", "refcoco+", "refcocog"):
+        with open(coco / f"instances_{n}_train.json", "w") as f:
+            json.dump(ann, f)
+
+    ds = build_dataset("joint", str(ytvos_root), "train", 3, "full",
+                       coco_path=str(coco))
+    # 3 refcoco datasets x 1 item + 6 ytvos metas
+    assert len(ds) == 3 * 1 + 6
+    first = ds.get_clip(0, random.Random(0)).clip        # refcoco pseudo-clip
+    last = ds.get_clip(len(ds) - 1, random.Random(0)).clip  # ytvos clip
+    assert first.frames.shape[0] == 3 and first.caption == "the red thing"
+    assert last.frames.shape == (3, 64, 80, 3)
+
+    ds_coco = build_dataset("joint_coco", None, "train", 3, "full",
+                            coco_path=str(coco))
+    assert len(ds_coco) == 3
+
+    ds_jd = build_dataset("ytvos_joint_davis", str(ytvos_root), "train", 3,
+                          "full", davis_path=str(ytvos_root))
+    # davis x5 oversampling + ytvos (fixture layouts are compatible)
+    assert len(ds_jd) == 5 * 6 + 6
+
+    with pytest.raises(ValueError):
+        build_dataset("joint", str(ytvos_root), "train", 3, "full")
