@@ -77,11 +77,20 @@ def _relative_position_index(ws: Tuple[int, int, int]) -> np.ndarray:
 
 
 class WindowAttention3D(nn.Module):
-    """W-MSA / SW-MSA with relative position bias (reference :87-169)."""
+    """W-MSA / SW-MSA with relative position bias (reference :87-169).
+
+    The bias table is sized by `full_window` (the block's configured window,
+    e.g. (8, 7, 7)) regardless of the EFFECTIVE window of this call: short
+    clips shrink the temporal window, and the reference keeps the full-size
+    parameter and slices `relative_position_index[:N, :N]`
+    (video_swin_transformer.py:111-113,152-154) — so converted checkpoints
+    load for any clip length.
+    """
     dim: int
-    window_size: Tuple[int, int, int]
+    window_size: Tuple[int, int, int]       # effective window of this call
     num_heads: int
     dtype: jnp.dtype = jnp.float32
+    full_window: Optional[Tuple[int, int, int]] = None
 
     @nn.compact
     def __call__(self, x: Array, mask: Optional[Array]) -> Array:
@@ -89,14 +98,15 @@ class WindowAttention3D(nn.Module):
         bw, n, c = x.shape
         h = self.num_heads
         dh = c // h
-        wt, wh, ww = self.window_size
+        full = self.full_window or self.window_size
+        wt, wh, ww = full
         table_size = (2 * wt - 1) * (2 * wh - 1) * (2 * ww - 1)
         bias_table = self.param(
             "relative_position_bias_table",
             nn.initializers.truncated_normal(0.02),
             (table_size, h),
         )
-        rel_idx = jnp.asarray(_relative_position_index(self.window_size))
+        rel_idx = jnp.asarray(_relative_position_index(full)[:n, :n])
         bias = bias_table[rel_idx.reshape(-1)].reshape(n, n, h)
         bias = bias.transpose(2, 0, 1)[None]                             # (1, H, N, N)
 
@@ -157,7 +167,7 @@ class SwinBlock3D(nn.Module):
         xw = xw.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(-1, ws[0] * ws[1] * ws[2], c)
 
         attn = WindowAttention3D(self.dim, ws, self.num_heads, dtype=self.dtype,
-                                 name="attn")(xw, mask)
+                                 full_window=self.window_size, name="attn")(xw, mask)
 
         # reverse partition
         attn = attn.reshape(b, tp // ws[0], hp // ws[1], wp // ws[2], ws[0], ws[1], ws[2], c)

@@ -592,6 +592,119 @@ def ms_deform_attn_pallas_cm(
         n, lq, m * d).astype(value.dtype)
 
 
+# --------------------------------------------------------------------------
+# Rank-4 dense-row formulation (PROFILE.md round-3 closing): instead of the
+# separable two-stage hat-matmuls (K = W_l then H_l, both under the MXU's
+# 128-deep pass), build the per-query dense sampling row
+#     M_q[h, w] = sum_p ry_p[h] * cx_p[w]
+# on the VPU (outer-product broadcast-multiply, lane-padded W -> mult of 128)
+# and contract ONCE per query with a full-K MXU pass:
+#     out_q = M_q.flatten() @ V[(h, w), d]        K = H * Wpad
+# FLOP trade: stage-1 matmul volume drops P-fold and the REP/SEL matmuls
+# vanish, at the cost of (tile, H, Wpad) VPU expansion work and a 25%-lane
+# output (N = D = 32).  Built to be MEASURED against the production CM
+# kernel (scripts/bench_msda_kernel.py); see PROFILE.md for the verdict.
+# --------------------------------------------------------------------------
+
+
+def _round_up_128(x: int) -> int:
+    return -(-x // 128) * 128
+
+
+def _msda_cm_r4_kernel(levels, d, p, tile, tiles_per_chunk,
+                       x_ref, y_ref, aw_ref, *rest):
+    nl = len(levels)
+    value_refs = rest[:nl]
+    out_ref = rest[-1]
+
+    def tile_body(j, carry):
+        q0 = pl.multiple_of(j * tile, tile)
+        acc_out = None
+        for l, (h, w) in enumerate(levels):
+            wp = _round_up_128(w)
+            iw = jax.lax.broadcasted_iota(jnp.int32, (tile, wp), 1).astype(jnp.float32)
+            ih = jax.lax.broadcasted_iota(jnp.int32, (tile, h), 1).astype(jnp.float32)
+            in_map = (iw < w).astype(jnp.float32)
+            acc_m = None
+            for pi in range(p):
+                x = x_ref[0, l, pi, pl.ds(q0, tile)] * w - 0.5
+                y = y_ref[0, l, pi, pl.ds(q0, tile)] * h - 0.5
+                aw = aw_ref[0, l, pi, pl.ds(q0, tile)]
+                x0 = jnp.floor(x)
+                y0 = jnp.floor(y)
+                # padded lanes masked: a corner at lane >= W is outside the
+                # map and must contribute zero (grid_sample 'zeros')
+                cx = _hat(x0, x - x0, iw) * in_map                   # (tile, Wp)
+                ry = _hat(y0, y - y0, ih) * aw[:, None]              # (tile, H)
+                m = ry[:, :, None] * cx[:, None, :]                  # (tile, H, Wp)
+                acc_m = m if acc_m is None else acc_m + m
+            mflat = acc_m.reshape(tile, h * wp).astype(jnp.bfloat16)
+            o = jnp.dot(mflat, value_refs[l][0],
+                        preferred_element_type=jnp.float32)          # (tile, D)
+            acc_out = o if acc_out is None else acc_out + o
+        out_ref[0, pl.ds(q0, tile), :] = acc_out
+        return carry
+
+    jax.lax.fori_loop(0, tiles_per_chunk, tile_body, 0)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 5, 6))
+def ms_deform_attn_pallas_cm_r4(
+    value: Array,                 # (N, S, M, D)
+    spatial_shapes: Shapes,
+    x_cm: Array,                  # (N, M, L, P, Lq) normalized [0, 1]
+    y_cm: Array,
+    aw_cm: Array,
+    tile_q: int = 128,
+    interpret: bool = False,
+) -> Array:                       # (N, Lq, M * D)
+    n, s, m, d = value.shape
+    _, _, l, p, lq = x_cm.shape
+    nm = n * m
+
+    # per-level values in (NM, H*Wpad, D) layout (row index = h*Wpad + w)
+    value_nm = value.transpose(0, 2, 1, 3).reshape(nm, s, d)
+    v_levels = []
+    start = 0
+    for (h, w) in spatial_shapes:
+        wp = _round_up_128(w)
+        v = jax.lax.dynamic_slice_in_dim(value_nm, start, h * w, axis=1)
+        v = v.reshape(nm, h, w, d)
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, wp - w), (0, 0)))
+        v_levels.append(v.reshape(nm, h * wp, d).astype(jnp.bfloat16))
+        start += h * w
+
+    tile_q, pad, qtot, chunk, tiles_per_chunk = _cm_tiling(lq, tile_q)
+    n_chunks = qtot // chunk
+
+    def fold(a):
+        a = a.astype(jnp.float32).reshape(nm, l, p, lq)
+        return jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, pad))) if pad else a
+
+    xf, yf, awf = fold(x_cm), fold(y_cm), fold(aw_cm)
+
+    qspec = pl.BlockSpec((1, l, p, chunk), lambda i, j: (i, 0, 0, j),
+                         memory_space=pltpu.VMEM)
+    vspecs = [pl.BlockSpec((1, h * _round_up_128(w), d), lambda i, j: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+              for (h, w) in spatial_shapes]
+
+    out = pl.pallas_call(
+        functools.partial(_msda_cm_r4_kernel, spatial_shapes, d, p, tile_q,
+                          tiles_per_chunk),
+        out_shape=jax.ShapeDtypeStruct((nm, qtot, d), jnp.float32),
+        grid=(nm, n_chunks),
+        in_specs=[qspec] * 3 + vspecs,
+        out_specs=pl.BlockSpec((1, chunk, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xf, yf, awf, *v_levels)
+
+    out = out[:, :lq]
+    return out.reshape(n, m, lq, d).transpose(0, 2, 1, 3).reshape(
+        n, lq, m * d).astype(value.dtype)
+
+
 def _msda_cm_bwd_kernel(levels, d, p, tile, tiles_per_chunk,
                         x_ref, y_ref, aw_ref, g_ref, *rest):
     nl = len(levels)

@@ -250,8 +250,26 @@ def convert_ocpg(sd: Dict, *, enc_layers: int = 4, dec_layers: int = 4,
     # --- backbone: keys live under backbone.0.body.* (Joiner wraps the body)
     bprefix = "backbone.0.body."
     bb_sd = {k[len(bprefix):]: v for k, v in sd.items() if k.startswith(bprefix)}
-    layers = (3, 4, 23, 3) if backbone == "resnet101" else (3, 4, 6, 3)
-    params["backbone"], frozen["backbone"] = convert_resnet(bb_sd, layers)
+    if backbone.startswith("video_swin") or backbone.startswith("swin"):
+        # reference VideoSwinTransformerBackbone pulls each stage's downsample
+        # OUT of the layer (`self.downsamples`, video_swin_transformer.py:668-672)
+        # so OCPG checkpoints carry downsamples.{s}.* — remap back to the
+        # Kinetics layers.{s}.downsample.* layout convert_video_swin expects
+        remapped = {}
+        for k, v in bb_sd.items():
+            if k.startswith("downsamples."):
+                parts = k.split(".")
+                remapped[f"layers.{parts[1]}.downsample." + ".".join(parts[2:])] = v
+            else:
+                remapped[k] = v
+        from ..models.backbone_video_swin import _CONFIGS
+
+        params["backbone"] = convert_video_swin(
+            remapped, tuple(_CONFIGS[backbone]["depths"]))
+        # no BN running stats in a transformer backbone -> no frozen entry
+    else:
+        layers = (3, 4, 23, 3) if backbone == "resnet101" else (3, 4, 6, 3)
+        params["backbone"], frozen["backbone"] = convert_resnet(bb_sd, layers)
 
     # --- text encoder: HF RobertaModel under text_encoder.text_backbone.*
     tprefix = "text_encoder.text_backbone."

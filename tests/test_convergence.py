@@ -1,0 +1,98 @@
+"""Overfit-one-batch convergence test (reference: engine.py:29-123 — the
+reference's whole point is that training converges; no forward-parity test
+can catch optimizer/loss-warmup/matcher-feedback bugs).
+
+Trains the tiny config for ~60 steps on ONE fixed synthetic batch over the
+8-device CPU mesh and asserts (a) the total loss falls by a large factor and
+(b) the matched-mask IoU against the synthetic GT rises.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ocpg_tpu.config import OCPGConfig
+from ocpg_tpu.data.synthetic import synthetic_batch
+from ocpg_tpu.engine import build_optimizer, create_train_state, make_train_step
+from ocpg_tpu.models import build_model
+from ocpg_tpu.parallel import create_mesh, replicate, shard_batch
+
+
+def _mask_iou(logits: np.ndarray, gt: np.ndarray) -> float:
+    pred = logits > 0.0          # == sigmoid(logits) > 0.5, overflow-safe
+    gtb = gt > 0.5
+    inter = np.logical_and(pred, gtb).sum()
+    union = np.logical_or(pred, gtb).sum()
+    return float(inter) / max(float(union), 1.0)
+
+
+def test_overfit_one_batch():
+    # clip_max_norm is raised from the recipe's 0.1: at this tiny scale the
+    # global grad norm sits at ~60-130, so the production clip shrinks steps
+    # ~1000x and the mask head cannot memorize in 120 steps (measured: IoU
+    # decays to 0 under clip 0.1; reaches 0.69 under clip 10 — the losses
+    # and optimizer are identical, only the clip bound changes).
+    cfg = OCPGConfig(
+        backbone="resnet50", enc_layers=1, dec_layers=2, dim_feedforward=64,
+        num_queries=5, num_frames=2, compute_dtype="float32",
+        dataset_file="ytvos",
+        text_layers=2, text_hidden=128, text_heads=4, text_ffn=256,
+        text_vocab=2048,
+        lr=5e-4, lr_backbone=5e-4, lr_linear_proj_mult=0.2,
+        clip_max_norm=10.0,
+    )
+    model, _, criterion_cfg, weight_dict = build_model(cfg)
+
+    rng = np.random.default_rng(7)
+    host = synthetic_batch(rng, batch=8, frames=2, height=64, width=64,
+                           text_len=8, vocab_size=cfg.text_vocab)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(host["samples"][:1]), jnp.asarray(host["samples_mask"][:1]),
+        jnp.asarray(host["text_ids"][:1]), jnp.asarray(host["text_mask"][:1]),
+        jnp.asarray(host["targets"]["size"][:1]),
+        targets={k: jnp.asarray(v[:1]) for k, v in host["targets"].items()},
+        train=True,
+    )
+
+    optimizer = build_optimizer(cfg, lr_drop_steps=[])
+    state = create_train_state(params, optimizer, seed=0)
+    mesh = create_mesh()
+    state = replicate(mesh, state)
+    batch = shard_batch(mesh, host)
+    step_fn = jax.jit(make_train_step(model, criterion_cfg, weight_dict, optimizer),
+                      donate_argnums=(0,))
+
+    def matched_iou(variables) -> float:
+        out = model.apply(
+            variables, jnp.asarray(host["samples"]), jnp.asarray(host["samples_mask"]),
+            jnp.asarray(host["text_ids"]), jnp.asarray(host["text_mask"]),
+            jnp.asarray(host["targets"]["size"]),
+            targets={k: jnp.asarray(v) for k, v in host["targets"].items()},
+            train=True, deterministic=True)
+        logits = np.asarray(out["pred_masks"], np.float32)
+        return _mask_iou(logits.reshape(-1, *logits.shape[-2:]),
+                         host["targets"]["masks"].reshape(-1, 64, 64))
+
+    iou_before = matched_iou(jax.device_get(state.params))
+
+    losses = []
+    n_steps = 120
+    for _ in range(n_steps):
+        state, metrics = step_fn(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses)), losses
+
+    first = float(np.mean(losses[:3]))
+    last = float(np.mean(losses[-5:]))
+    iou_after = matched_iou(jax.device_get(state.params))
+    print(f"overfit: loss {first:.3f} -> {last:.3f}, "
+          f"IoU {iou_before:.3f} -> {iou_after:.3f}")
+    # measured trajectory (seeded): loss 47.6 -> ~11.3, IoU 0.079 -> 0.686.
+    # the loss must collapse on a memorized batch...
+    assert last < 0.4 * first, (first, last)
+    # ...and the matched masks must actually move toward the GT object
+    assert iou_after > iou_before + 0.25, (iou_before, iou_after)
+    assert iou_after > 0.45, iou_after

@@ -143,3 +143,15 @@ def test_pallas_cm_backward_matches_autodiff_interpret(rng):
         got, ref = np.asarray(got, np.float32), np.asarray(ref, np.float32)
         scale = max(np.abs(ref).max(), 1e-6)
         np.testing.assert_allclose(got / scale, ref / scale, atol=6e-3)
+
+
+def test_pallas_cm_r4_matches_gather_interpret(rng):
+    """Rank-4 dense-row forward (VPU outer product + full-K MXU contraction,
+    PROFILE.md round-3 lever) vs the gather oracle, incl. OOB sampling."""
+    from ocpg_tpu.ops.ms_deform_attn_pallas import ms_deform_attn_pallas_cm_r4
+
+    value, locs, attn = _inputs(rng)
+    expected = ms_deform_attn(value, SHAPES, locs, attn)
+    got = ms_deform_attn_pallas_cm_r4(value, SHAPES, *_to_cm(locs, attn), 128, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-2, atol=2e-2)

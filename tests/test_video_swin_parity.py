@@ -52,7 +52,10 @@ def _torch_swin_block(x, sd, window_size, shift, num_heads):
     qkv = qkv.view(bw, n, 3, nh, dh).permute(2, 0, 3, 1, 4)
     q, k, v = qkv[0] * dh ** -0.5, qkv[1], qkv[2]
     attn = q @ k.transpose(-2, -1)
-    idx = torch.from_numpy(_relative_position_index(ws)).view(-1)
+    # full-window table sliced to the effective window, as the reference
+    # (video_swin_transformer.py:152-154): index[:N, :N] into the full table
+    idx = torch.from_numpy(
+        _relative_position_index(window_size)[:n, :n]).reshape(-1)
     bias = sd["attn.relative_position_bias_table"][idx].view(n, n, nh)
     attn = attn + bias.permute(2, 0, 1)[None]
     if mask is not None:

@@ -93,6 +93,114 @@ class BackboneJoinerSlot(nn.Module):
         self.body = ResNetBody(layers)
 
 
+# ------------------------------------------------------- video-swin backbone --
+class _SwinAttnParams(nn.Module):
+    def __init__(self, c, heads, window):
+        super().__init__()
+        self.qkv = nn.Linear(c, 3 * c)
+        self.proj = nn.Linear(c, c)
+        n = (2 * window[0] - 1) * (2 * window[1] - 1) * (2 * window[2] - 1)
+        self.relative_position_bias_table = nn.Parameter(torch.zeros(n, heads))
+
+
+class _SwinMlpParams(nn.Module):
+    def __init__(self, c, ratio=4.0):
+        super().__init__()
+        self.fc1 = nn.Linear(c, int(c * ratio))
+        self.fc2 = nn.Linear(int(c * ratio), c)
+
+
+class _SwinBlockParams(nn.Module):
+    def __init__(self, c, heads, window):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(c)
+        self.norm2 = nn.LayerNorm(c)
+        self.attn = _SwinAttnParams(c, heads, window)
+        self.mlp = _SwinMlpParams(c)
+
+
+class _SwinStage(nn.Module):
+    def __init__(self, c, depth, heads, window):
+        super().__init__()
+        self.blocks = nn.ModuleList(
+            _SwinBlockParams(c, heads, window) for _ in range(depth))
+
+
+class _PatchMerging(nn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.norm = nn.LayerNorm(4 * c)
+        self.reduction = nn.Linear(4 * c, 2 * c, bias=False)
+
+    def forward(self, x):  # (B, T, H, W, C)
+        b, t, h, w, c = x.shape
+        x = F.pad(x, (0, 0, 0, w % 2, 0, h % 2))
+        x = torch.cat([x[:, :, 0::2, 0::2], x[:, :, 1::2, 0::2],
+                       x[:, :, 0::2, 1::2], x[:, :, 1::2, 1::2]], -1)
+        return self.reduction(self.norm(x))
+
+
+class _PatchEmbed3D(nn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.proj = nn.Conv3d(3, c, kernel_size=(1, 4, 4), stride=(1, 4, 4))
+        self.norm = nn.LayerNorm(c)
+
+
+class VideoSwinBody(nn.Module):
+    """Reference VideoSwinTransformerBackbone key layout
+    (video_swin_transformer.py:638-701): patch_embed.*, layers.{s}.blocks.{i}.*
+    with downsamples.{s}.* pulled out of the stages.  The block math delegates
+    to tests.test_video_swin_parity._torch_swin_block (the reference-semantics
+    functional implementation already validated against SwinBlock3D)."""
+
+    def __init__(self, embed_dim=32, depths=(1, 1, 2, 1), heads=(1, 2, 4, 8),
+                 window=(8, 7, 7)):
+        super().__init__()
+        self.patch_embed = _PatchEmbed3D(embed_dim)
+        self.layers = nn.ModuleList()
+        self.downsamples = nn.ModuleList()
+        for s, (d, h) in enumerate(zip(depths, heads)):
+            c = embed_dim * 2 ** s
+            self.layers.append(_SwinStage(c, d, h, window))
+            self.downsamples.append(
+                _PatchMerging(c) if s < len(depths) - 1 else None)
+        self.embed_dim, self.depths, self.heads = embed_dim, depths, heads
+        self.window = window
+
+    def forward(self, samples, num_frames):
+        from tests.test_video_swin_parity import _torch_swin_block
+
+        bt, _, H, W = samples.shape
+        t = num_frames
+        b = bt // t
+        x = samples.reshape(b, t, 3, H, W).permute(0, 2, 1, 3, 4)   # (B,3,T,H,W)
+        x = self.patch_embed.proj(x)                                # (B,C,T,H4,W4)
+        bch, c, _, h4, w4 = x.shape
+        x = F.layer_norm(x.flatten(2).transpose(1, 2), (c,),
+                         self.patch_embed.norm.weight,
+                         self.patch_embed.norm.bias, eps=1e-5)
+        x = x.view(b, t, h4, w4, c)                                 # (B,T,H,W,C)
+
+        outs = []
+        for s, (stage, down) in enumerate(zip(self.layers, self.downsamples)):
+            for i, blk in enumerate(stage.blocks):
+                sd = {k: v.detach() for k, v in blk.state_dict().items()}
+                x = _torch_swin_block(x, sd, self.window, shift=(i % 2 == 1),
+                                      num_heads=self.heads[s])
+            outs.append(x.permute(0, 1, 4, 2, 3).reshape(
+                bt, x.shape[-1], x.shape[2], x.shape[3]))           # (BT,C,h,w)
+            if down is not None:
+                x = down(x)
+        return outs
+
+
+class SwinBackboneJoinerSlot(nn.Module):
+    def __init__(self, embed_dim, depths, heads):
+        super().__init__()
+        self.body = VideoSwinBody(embed_dim, depths, heads)
+
+
 # -------------------------------------------------------------- small bits --
 class FeatureResizer(nn.Module):
     def __init__(self, cin, cout):
@@ -320,7 +428,7 @@ class OCPGReplica(nn.Module):
 
     def __init__(self, hf_text_config, resnet_layers=(3, 4, 6, 3), hidden=256,
                  heads=8, enc=1, dec=2, ffn=64, levels=4, points=4, queries=5,
-                 mask_ch=16):
+                 mask_ch=16, swin_cfg=None):
         super().__init__()
         from transformers import RobertaModel
 
@@ -329,14 +437,21 @@ class OCPGReplica(nn.Module):
                 super().__init__()
                 slf.text_backbone = RobertaModel(hf_text_config)
 
-        self.backbone = nn.ModuleList([BackboneJoinerSlot(resnet_layers)])
+        if swin_cfg is not None:
+            self.backbone = nn.ModuleList([SwinBackboneJoinerSlot(
+                swin_cfg["embed_dim"], swin_cfg["depths"], swin_cfg["num_heads"])])
+            bb_ch = tuple(swin_cfg["embed_dim"] * 2 ** i
+                          for i in range(len(swin_cfg["depths"])))
+        else:
+            self.backbone = nn.ModuleList([BackboneJoinerSlot(resnet_layers)])
+            bb_ch = (256, 512, 1024, 2048)
+        self.is_swin = swin_cfg is not None
         self.text_encoder = TextSlot()
         th = hf_text_config.hidden_size
         self.text_proj = FeatureResizer(th, hidden)
         self.sentence_proj = FeatureResizer(th, hidden)
         self.fusion_module = VLFusion(hidden, heads)
         self.query_embed = nn.Embedding(queries, hidden)
-        bb_ch = (256, 512, 1024, 2048)
         projs = []
         for l in range(levels):
             cin = bb_ch[1 + l] if l < 3 else bb_ch[-1]
@@ -358,12 +473,25 @@ class OCPGReplica(nn.Module):
         self.dec, self.queries, self.mask_ch = dec, queries, mask_ch
 
     @torch.no_grad()
-    def forward(self, samples, samples_mask, text_ids, text_mask, sizes):
-        """samples (B,T,3,H,W); samples_mask (B,T,H,W) bool; sizes (B,2) hw."""
+    def _trunk(self, samples, samples_mask, text_ids, text_mask, sizes,
+               valid_indices=None):
+        """Shared pipeline through the per-layer dynamic-conv patches.
+
+        samples (B,T,3,H,W); samples_mask (B,T,H,W) bool; sizes (B,2) hw;
+        valid_indices (B,) selects one annotated frame after the backbone
+        (reference ocpg.py:226-235, a2d/jhmdb path).
+        """
         b, t, _, H, W = samples.shape
         frames = samples.reshape(b * t, 3, H, W)
         fmask = samples_mask.reshape(b * t, H, W)
-        feats = self.backbone[0].body(frames)
+        feats = (self.backbone[0].body(frames, t) if self.is_swin
+                 else self.backbone[0].body(frames))
+        if valid_indices is not None:
+            sel = torch.arange(b) * t + valid_indices
+            feats = [f[sel] for f in feats]
+            frames = frames[sel]
+            fmask = fmask[sel]
+            t = 1
         feat_masks = [
             (F.interpolate(fmask[:, None].float(), size=f.shape[-2:],
                            mode="nearest")[:, 0] > 0.5)
@@ -469,7 +597,7 @@ class OCPGReplica(nn.Module):
                               for i in range(self.dec)]).reshape(self.dec, b, t, self.queries, 1)
         coords = torch.stack(coords_layers).reshape(self.dec, b, t, self.queries, 4)
 
-        # --- mask path ---
+        # --- mask path: per-layer dynamic-conv patches ---
         h8, w8 = memory_features[0].shape[-2:]
         mem_fuse = sum(F.interpolate(x, size=(h8, w8), mode="bicubic",
                                      align_corners=False) for x in memory_features)
@@ -479,39 +607,61 @@ class OCPGReplica(nn.Module):
         locations = torch.stack(
             (sx[None, :].expand(h8, w8), sy[:, None].expand(h8, w8)), -1)
 
-        # eval branch: best query on last layer
-        scores = torch.sigmoid(logits[-1])                     # (B,T,Q,1)
-        best_q = scores.mean(1).max(-1).values.argmax(-1)      # (B,)
-
-        params = self.controller(hs_layers[-1]).reshape(b, t, self.queries, -1)
-        refq = refs_layers[-1][..., :2].reshape(b, t, self.queries, 2) * scale_wh[:, None, None]
-        rel = refq[:, :, :, None, None, :] - locations[None, None, None]
-        mf = mem_fuse.reshape(b, t, -1, h8, w8)
-        mf = mf[:, :, None].expand(b, t, self.queries, mf.shape[2], h8, w8)
-        inst = torch.cat([mf, rel.permute(0, 1, 2, 5, 3, 4)], 3)
-        inst = inst.reshape(b * t * self.queries, -1, h8, w8)
-        cp = params.reshape(b * t * self.queries, -1)
-
-        # controller layout: all weights first, then all biases
-        # (reference parse_dynamic_params, ocpg.py:552-569)
         cin0 = self.hidden + 2
         mc = self.mask_ch
         n_w1, n_w2 = cin0 * mc, mc * mc
-        w1 = cp[:, :n_w1].reshape(-1, mc, cin0)
-        w2 = cp[:, n_w1:n_w1 + n_w2].reshape(-1, mc, mc)
-        b1 = cp[:, n_w1 + n_w2:n_w1 + n_w2 + mc]
-        b2 = cp[:, n_w1 + n_w2 + mc:]
-        x = torch.einsum("ichw,ioc->iohw", inst, w1) + b1[:, :, None, None]
-        x = F.relu(x)
-        patch = torch.einsum("ichw,ioc->iohw", x, w2) + b2[:, :, None, None]
-        patch = patch.reshape(b, t, self.queries, self.mask_ch, h8, w8)
+        patches, shuffled = [], []
+        for i in range(self.dec):
+            params = self.controller(hs_layers[i]).reshape(b, t, self.queries, -1)
+            refq = refs_layers[i][..., :2].reshape(b, t, self.queries, 2) * scale_wh[:, None, None]
+            rel = refq[:, :, :, None, None, :] - locations[None, None, None]
+            mf = mem_fuse.reshape(b, t, -1, h8, w8)
+            mf = mf[:, :, None].expand(b, t, self.queries, mf.shape[2], h8, w8)
+            inst = torch.cat([mf, rel.permute(0, 1, 2, 5, 3, 4)], 3)
+            inst = inst.reshape(b * t * self.queries, -1, h8, w8)
+            cp = params.reshape(b * t * self.queries, -1)
 
+            # controller layout: all weights first, then all biases
+            # (reference parse_dynamic_params, ocpg.py:552-569)
+            w1 = cp[:, :n_w1].reshape(-1, mc, cin0)
+            w2 = cp[:, n_w1:n_w1 + n_w2].reshape(-1, mc, mc)
+            b1 = cp[:, n_w1 + n_w2:n_w1 + n_w2 + mc]
+            b2 = cp[:, n_w1 + n_w2 + mc:]
+            x = torch.einsum("ichw,ioc->iohw", inst, w1) + b1[:, :, None, None]
+            x = F.relu(x)
+            patch = torch.einsum("ichw,ioc->iohw", x, w2) + b2[:, :, None, None]
+            shuffled.append(F.pixel_shuffle(patch, 4).reshape(
+                b, t, self.queries, h8 * 4, w8 * 4))
+            patches.append(patch.reshape(b, t, self.queries, self.mask_ch, h8, w8))
+
+        return {
+            "b": b, "t": t, "H": H, "W": W, "bt": bt,
+            "h8": h8, "w8": w8,
+            "feats": feats, "frames": frames,
+            "logits": logits, "coords": coords,
+            "hs_layers": hs_layers, "refs_layers": refs_layers,
+            "mem_fuse": mem_fuse, "text_sentence": text_sentence,
+            "patches": patches, "shuffled": shuffled,
+        }
+
+    @torch.no_grad()
+    def forward(self, samples, samples_mask, text_ids, text_mask, sizes):
+        """DAVIS/YTVOS eval branch (reference ocpg.py:401-433): best query."""
+        tr = self._trunk(samples, samples_mask, text_ids, text_mask, sizes)
+        b, t, H, W, bt = tr["b"], tr["t"], tr["H"], tr["W"], tr["bt"]
+        logits, coords = tr["logits"], tr["coords"]
+        feats = tr["feats"]
+
+        scores = torch.sigmoid(logits[-1])                     # (B,T,Q,1)
+        best_q = scores.mean(1).max(-1).values.argmax(-1)      # (B,)
+
+        patch = tr["patches"][-1]
         psel = patch[torch.arange(b), :, best_q]               # (B,T,16,h8,w8)
-        psel = psel.reshape(bt, self.mask_ch, h8, w8)
+        psel = psel.reshape(bt, self.mask_ch, tr["h8"], tr["w8"])
         refined = self.mask_refine(psel, feats[0], feats[1])   # (BT,1,h4,w4)
         full = F.interpolate(refined, size=(H, W), mode="nearest")[:, 0]
 
-        refs_pen = refs_layers[-2][..., :2].reshape(b, t, self.queries, 2)
+        refs_pen = tr["refs_layers"][-2][..., :2].reshape(b, t, self.queries, 2)
         return {
             "pred_logits": torch.gather(
                 logits[-1], 2, best_q[:, None, None, None].expand(b, t, 1, 1)),
@@ -520,4 +670,79 @@ class OCPGReplica(nn.Module):
             "reference_points": torch.gather(
                 refs_pen, 2, best_q[:, None, None, None].expand(b, t, 1, 2)),
             "pred_masks": full.reshape(b, t, 1, H, W),
+        }
+
+    @torch.no_grad()
+    def forward_a2d(self, samples, samples_mask, text_ids, text_mask, sizes,
+                    valid_indices):
+        """A2D/JHMDB eval branch (reference ocpg.py:434-445): valid-frame
+        select after the backbone, then MSO-refine EVERY query."""
+        tr = self._trunk(samples, samples_mask, text_ids, text_mask, sizes,
+                         valid_indices=valid_indices)
+        b, t, H, W = tr["b"], tr["t"], tr["H"], tr["W"]
+        q, mc = self.queries, self.mask_ch
+        feats = tr["feats"]
+
+        # instance order (b, q, t) as the JAX branch (ocpg.py:354-362)
+        patch = tr["patches"][-1]                              # (B,T,Q,16,h8,w8)
+        patch_q = patch.permute(0, 2, 1, 3, 4, 5).reshape(
+            b * q * t, mc, tr["h8"], tr["w8"])
+        f4 = feats[0].reshape(b, t, *feats[0].shape[1:])
+        f8 = feats[1].reshape(b, t, *feats[1].shape[1:])
+        f4 = f4[:, None].expand(b, q, *f4.shape[1:]).reshape(b * q * t, *feats[0].shape[1:])
+        f8 = f8[:, None].expand(b, q, *f8.shape[1:]).reshape(b * q * t, *feats[1].shape[1:])
+        refined = self.mask_refine(patch_q, f4, f8)
+        full = F.interpolate(refined, size=(H, W), mode="nearest")[:, 0]
+        return {
+            "pred_logits": tr["logits"][-1],                   # (B,T,Q,1)
+            "pred_boxes": tr["coords"][-1],
+            "pred_masks": full.reshape(b, q, t, H, W).permute(0, 2, 1, 3, 4),
+        }
+
+    @torch.no_grad()
+    def forward_train(self, samples, samples_mask, text_ids, text_mask, sizes,
+                      matched):
+        """Train branch (reference ocpg.py:336-399): per-layer matched masks
+        + MSO, level-set feature stack.  `matched` is the (L, B) query
+        assignment (computed outside so the torch matcher replica in
+        tests/test_matcher.py can be exercised on the same tensors)."""
+        tr = self._trunk(samples, samples_mask, text_ids, text_mask, sizes)
+        b, t, H, W, bt = tr["b"], tr["t"], tr["H"], tr["W"], tr["bt"]
+        h8, w8 = tr["h8"], tr["w8"]
+        h2, w2 = h8 * 4, w8 * 4
+        feats = tr["feats"]
+
+        # level-set targets (reference ocpg.py:368-384)
+        ls_viz = self.ls_feat_viz(tr["mem_fuse"])
+        ls_viz = F.interpolate(ls_viz, size=(h2, w2), mode="bilinear",
+                               align_corners=True)             # (BT,8,h2,w2)
+        txt8 = self.ls_text_proj(tr["text_sentence"])          # (B,8)
+        txt8_bt = txt8.repeat_interleave(t, dim=0)[:, :, None, None]
+        dot = (ls_viz * txt8_bt).sum(1)
+        cos = (F.normalize(ls_viz, dim=1) * F.normalize(txt8_bt, dim=1)).sum(1)
+        sim_cross = dot / (cos + 1e-5)
+        img_ori = F.interpolate(tr["frames"], size=(h2, w2), mode="bilinear",
+                                align_corners=True)            # (BT,3,h2,w2)
+        ls_features = torch.cat([img_ori, ls_viz, sim_cross[:, None]], 1)
+
+        pred_masks_layers, pred_low_layers = [], []
+        for i in range(self.dec):
+            sel = torch.as_tensor(matched[i])
+            psel = tr["patches"][i][torch.arange(b), :, sel]   # (B,T,16,h8,w8)
+            psel = psel.reshape(bt, self.mask_ch, h8, w8)
+            refined = self.mask_refine(psel, feats[0], feats[1])
+            full = F.interpolate(refined, size=(H, W), mode="nearest")[:, 0]
+            pred_masks_layers.append(full.reshape(b, t, H, W))
+            pred_low_layers.append(
+                tr["shuffled"][i][torch.arange(b), :, sel])    # (B,T,h2,w2)
+
+        return {
+            "outputs_class": torch.stack(tr["logits"]) if isinstance(tr["logits"], list)
+                             else tr["logits"],                # (L,B,T,Q,1)
+            "outputs_coord": torch.stack(tr["coords"]) if isinstance(tr["coords"], list)
+                             else tr["coords"],
+            "formatcher_layers": torch.stack(tr["shuffled"]),  # (L,B,T,Q,h2,w2)
+            "pred_masks_layers": torch.stack(pred_masks_layers),
+            "pred_masks_low_layers": torch.stack(pred_low_layers),
+            "ls_features": ls_features.reshape(b, t, -1, h2, w2),  # (B,T,12,h2,w2)
         }
