@@ -110,15 +110,20 @@ class WindowAttention3D(nn.Module):
         bias = bias_table[rel_idx.reshape(-1)].reshape(n, n, h)
         bias = bias.transpose(2, 0, 1)[None]                             # (1, H, N, N)
 
+        # qkv stays in its Dense output layout and is sliced (not transposed):
+        # the explicit (3, B, H, N, Dh) transpose materialized a full relayout
+        # of the backbone's biggest activation per block; einsum dot-dims
+        # absorb the head split for free (measured -10%/block on v5e,
+        # scripts/bench_swin_micro.py).
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(bw, n, 3, h, dh).transpose(2, 0, 3, 1, 4)      # (3, B, H, N, Dh)
-        q, k, v = qkv[0] * (dh ** -0.5), qkv[1], qkv[2]
+        qkv = qkv.reshape(bw, n, 3, h, dh)
+        q, k, v = qkv[:, :, 0] * (dh ** -0.5), qkv[:, :, 1], qkv[:, :, 2]
         # logits stored in compute dtype (f32 matmul accumulation): the
         # (bw, H, N, N) buffer is the backbone's largest HBM tenant — bf16
         # halves its traffic.  The softmax itself runs in f32 (upcast fused
         # into the reduction, downcast into the attn@v operand), matching the
         # reference's AMP semantics: fp16 logits, autocast-fp32 softmax.
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
                           preferred_element_type=jnp.float32).astype(self.dtype)
         attn = attn + bias.astype(self.dtype)
         if mask is not None:
@@ -126,8 +131,8 @@ class WindowAttention3D(nn.Module):
             attn = attn.reshape(bw // nw, nw, h, n, n) + jnp.asarray(mask, self.dtype)[None, :, None]
             attn = attn.reshape(bw, h, n, n)
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(bw, n, c)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+        out = out.reshape(bw, n, c)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
 
@@ -189,7 +194,14 @@ class SwinBlock3D(nn.Module):
 
         y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
-        y = jax.nn.gelu(y, approximate=False)
+        # GELU: tanh-approx under bf16 compute, exact erf otherwise.  The
+        # approximation's max abs error (4.7e-4) is ~37x below bf16's own
+        # rounding error of exact gelu (1.8e-2), so under bf16 the two are
+        # numerically indistinguishable — and the erf is the single biggest
+        # VPU cost in the Swin block (0.303 -> 0.113 ms/stage-2 MLP on v5e,
+        # scripts/bench_swin_micro.py).  f32 keeps the reference-exact erf
+        # (torch nn.GELU default) for golden parity.
+        y = jax.nn.gelu(y, approximate=(self.dtype == jnp.bfloat16))
         y = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(y)
         return x + drop_path(y)
 

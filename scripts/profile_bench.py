@@ -29,9 +29,18 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
 def categorize(name: str) -> str:
-    """Map an HLO event name to a coarse category."""
-    n = name.lower()
-    if "conv" in n:
+    """Map an HLO event to a coarse category.
+
+    Uses only the RESULT name (before '=') — matching the full text would
+    misattribute ops whose operand list mentions %convert/%copy operands
+    (e.g. the MSDA custom-call used to land in "convolution").
+    """
+    n = name.split(" = ")[0].lower() if " = " in name else name.lower()
+    if "custom-call" in n or "ms_deform" in n:
+        return "custom-call(pallas|fft)"
+    if "conv" in n and "convert" not in n:
+        return "convolution"
+    if "convolution" in n:
         return "convolution"
     if "dot" in n or "matmul" in n or "einsum" in n:
         return "matmul"
@@ -47,6 +56,8 @@ def categorize(name: str) -> str:
         return "collective"
     if "copy" in n or "transpose" in n or "bitcast" in n or "reshape" in n:
         return "layout/copy"
+    if "convert_reduce" in n or n.startswith("%reduce"):
+        return "reduce(norms)"
     if "fusion" in n or "fused" in n:
         return "fusion(elementwise)"
     if "infeed" in n or "outfeed" in n or "transfer" in n:
@@ -166,6 +177,45 @@ def main():
     for name, ns in per_op.most_common(40):
         short = re.sub(r"\s+", " ", name)[:110]
         lines_out.append(f"| `{short}` | {ns/1e6:.2f} | {100*ns/max(device_total,1):.1f}% |")
+
+    # custom-call detail: every Pallas call individually (encoder vs decoder
+    # MSDA calls have very different query counts but identical kernel names)
+    lines_out.append("")
+    lines_out.append("## custom-call detail")
+    lines_out.append("")
+    lines_out.append("| op | ms | count |")
+    lines_out.append("|---|---|---|")
+    cc_counts = collections.Counter()
+    for name, dur in evs:
+        if name.startswith("%while"):
+            continue
+        if categorize(name) == "custom-call(pallas|fft)":
+            cc_counts[name] += 1
+    for name, ns in per_op.most_common():
+        if categorize(name) != "custom-call(pallas|fft)":
+            continue
+        short = re.sub(r"\s+", " ", name)[:130]
+        lines_out.append(f"| `{short}` | {ns/1e6:.2f} | {cc_counts[name]} |")
+
+    # layout/copy deep-dive: aggregate by result shape so thousands of small
+    # partition/relayout copies become attributable
+    shape_re = re.compile(r"=\s+\(?\s*([a-z0-9]+\[[0-9,]*\])")
+    per_copy_shape = collections.Counter()
+    copy_counts = collections.Counter()
+    for name, dur in evs:
+        if name.startswith("%while") or categorize(name) != "layout/copy":
+            continue
+        m = shape_re.search(name)
+        key = m.group(1) if m else "?"
+        per_copy_shape[key] += dur
+        copy_counts[key] += 1
+    lines_out.append("")
+    lines_out.append("## layout/copy by result shape (top 25)")
+    lines_out.append("")
+    lines_out.append("| shape | ms | count |")
+    lines_out.append("|---|---|---|")
+    for key, ns in per_copy_shape.most_common(25):
+        lines_out.append(f"| `{key}` | {ns/1e6:.2f} | {copy_counts[key]} |")
 
     report = "\n".join(lines_out)
     print(report)
