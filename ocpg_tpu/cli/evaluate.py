@@ -24,6 +24,11 @@ def main():
     p.add_argument("--tokenizer_path", default=None)
     p.add_argument("--invert_masks", action="store_true",
                    help="replicate the reference postprocessor quirk (postprocessors.py:46)")
+    p.add_argument("--canvas", type=int, nargs=2, default=None,
+                   metavar=("H", "W"),
+                   help="static loader canvas (default: canvas_for())")
+    p.add_argument("--config_overrides", default=None,
+                   help="JSON dict of OCPGConfig field overrides (tests/tools)")
     args = p.parse_args()
 
     import jax
@@ -38,12 +43,17 @@ def main():
 
     cfg = OCPGConfig(backbone=args.backbone, dataset_file=args.dataset_file,
                      num_frames=args.num_frames)
+    if args.config_overrides:
+        cfg = cfg.replace(**json.loads(args.config_overrides))
     root = args.a2d_path if args.dataset_file == "a2d" else args.jhmdb_path
     dataset = build_dataset(args.dataset_file, root, "val", cfg.num_frames)
     # batch axis shards over the device mesh in evaluate_a2d; the loader pads
     # the tail batch (real_count) so every sample is still scored
     loader = ClipLoader(dataset, args.batch_size * jax.device_count(),
-                        tokenizer=SimpleTokenizer(args.tokenizer_path), train=False)
+                        tokenizer=SimpleTokenizer(args.tokenizer_path,
+                                                  vocab_size=cfg.text_vocab),
+                        train=False,
+                        canvas=tuple(args.canvas) if args.canvas else None)
 
     model, *_ = build_model(cfg)
     host = next(iter(loader.epoch(0)))

@@ -112,7 +112,7 @@ def main():
     from ..ops.image import bilinear_resize
 
     cfg = apply_overrides(OCPGConfig(backbone=args.backbone, dataset_file="davis"), args)
-    tokenizer = SimpleTokenizer(args.tokenizer_path)
+    tokenizer = SimpleTokenizer(args.tokenizer_path, vocab_size=cfg.text_vocab)
 
     root = Path(args.davis_path)
     meta_file = root / "meta_expressions" / args.split / "meta_expressions.json"

@@ -52,7 +52,7 @@ def main():
     from .infer_davis import apply_overrides, init_engine, load_frames
 
     cfg = apply_overrides(OCPGConfig(backbone=args.backbone, dataset_file="ytvos"), args)
-    tokenizer = SimpleTokenizer(args.tokenizer_path)
+    tokenizer = SimpleTokenizer(args.tokenizer_path, vocab_size=cfg.text_vocab)
 
     root = Path(args.ytvos_path)
     with open(root / "meta_expressions" / args.split / "meta_expressions.json") as f:

@@ -36,6 +36,11 @@ def get_args():
     p.add_argument("--no_eval", action="store_true",
                    help="skip the per-epoch refcoco val evaluation")
     p.add_argument("--eval_batch_size", type=int, default=2)
+    p.add_argument("--canvas", type=int, nargs=2, default=None,
+                   metavar=("H", "W"),
+                   help="static loader canvas (default: canvas_for())")
+    p.add_argument("--config_overrides", default=None,
+                   help="JSON dict of OCPGConfig field overrides (tests/tools)")
     return p.parse_args()
 
 
@@ -57,6 +62,10 @@ def main():
     cfg = OCPGConfig(backbone=args.backbone, dataset_file=args.dataset_file,
                      supervision="full", num_frames=args.num_frames, lr=args.lr,
                      batch_size=args.batch_size, epochs=args.epochs, seed=args.seed)
+    if args.config_overrides:
+        import json
+
+        cfg = cfg.replace(**json.loads(args.config_overrides))
     jax.config.update("jax_default_prng_impl", cfg.prng_impl)
 
     ann_dir = Path(args.refexp_ann_dir or args.coco_path)
@@ -78,9 +87,11 @@ def main():
                 val_loaders.append((n, RefExpDataset(
                     Path(args.coco_path) / "train2014", val_ann, num_frames=1)))
 
-    tokenizer = SimpleTokenizer(args.tokenizer_path)
+    tokenizer = SimpleTokenizer(args.tokenizer_path, vocab_size=cfg.text_vocab)
+    canvas = tuple(args.canvas) if args.canvas else None
     loader = ClipLoader(dataset, cfg.batch_size * jax.device_count(),
-                        tokenizer=tokenizer, train=True, seed=cfg.seed)
+                        tokenizer=tokenizer, train=True, seed=cfg.seed,
+                        canvas=canvas)
 
     model, _, criterion_cfg, weight_dict = build_model(cfg)
     host = next(iter(loader.epoch(0)))
@@ -132,7 +143,7 @@ def main():
             # with P('data') divides evenly; tail padding keeps shapes static.
             val_loader = ClipLoader(val_ds, args.eval_batch_size * jax.device_count(),
                                     tokenizer=tokenizer, train=False,
-                                    seed=cfg.seed)
+                                    seed=cfg.seed, canvas=canvas)
             stats = evaluate_refexp_loop(eval_model, params_now, val_loader)
             record.update({f"{n}_{k}": v for k, v in stats.items()})
             tb.scalars(int(jax.device_get(state.step)),

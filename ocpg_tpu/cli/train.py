@@ -73,6 +73,11 @@ def get_args():
     p.add_argument("--tb_every", type=int, default=200)
     p.add_argument("--debug_images_every", type=int, default=0,
                    help=">0: dump pred/target/weak map PNGs every N iters")
+    p.add_argument("--canvas", type=int, nargs=2, default=None,
+                   metavar=("H", "W"),
+                   help="static loader canvas (default: canvas_for())")
+    p.add_argument("--config_overrides", default=None,
+                   help="JSON dict of OCPGConfig field overrides (tests/tools)")
     return p.parse_args()
 
 
@@ -115,6 +120,8 @@ def main():
             cfg = cfg.replace(**{flag: v})
     if args.lr_drop is not None:
         cfg = cfg.replace(lr_drop=tuple(args.lr_drop))
+    if args.config_overrides:
+        cfg = cfg.replace(**json.loads(args.config_overrides))
     # dropout PRNG: 'rbg' lowers to XLA RngBitGenerator — the big dropout
     # masks cost ~10 ms/step less than threefry at train shapes (PROFILE.md)
     jax.config.update("jax_default_prng_impl", cfg.prng_impl)
@@ -130,9 +137,10 @@ def main():
                             cfg.supervision, coco_path=args.coco_path,
                             coco_ann_dir=args.refexp_ann_dir,
                             davis_path=args.davis_path)
-    tokenizer = SimpleTokenizer(args.tokenizer_path)
+    tokenizer = SimpleTokenizer(args.tokenizer_path, vocab_size=cfg.text_vocab)
     loader = ClipLoader(dataset, cfg.batch_size * jax.device_count(),
                         tokenizer=tokenizer, train=True, seed=cfg.seed,
+                        canvas=tuple(args.canvas) if args.canvas else None,
                         num_workers=args.num_workers)
 
     model, _, criterion_cfg, weight_dict = build_model(cfg)

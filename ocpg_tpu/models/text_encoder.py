@@ -137,7 +137,15 @@ class SimpleTokenizer:
                 captions, padding="max_length", truncation=True, max_length=self.max_len,
                 return_tensors="np",
             )
-            return enc["input_ids"].astype(np.int32), enc["attention_mask"].astype(np.int32)
+            ids = enc["input_ids"].astype(np.int32)
+            if ids.max(initial=0) >= self.vocab_size:
+                # out-of-range ids would silently become NaN embeddings on
+                # device (jnp.take fills OOB with NaN) — fail on the host
+                raise ValueError(
+                    f"tokenizer produced id {int(ids.max())} >= vocab_size "
+                    f"{self.vocab_size}; pass vocab_size=cfg.text_vocab when "
+                    "constructing SimpleTokenizer")
+            return ids, enc["attention_mask"].astype(np.int32)
         # hash fallback: <s> tokens </s> with deterministic per-word ids.
         # md5 (not Python hash()) so ids are identical across processes
         # regardless of PYTHONHASHSEED — hermetic runs stay reproducible.

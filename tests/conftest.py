@@ -19,9 +19,14 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
-# The axon TPU plugin ignores JAX_PLATFORMS/JAX_PLATFORM_NAME, so the env vars
-# above are not enough: pin the default device so every eager op and jit
-# without explicit shardings lands on the host CPU, never the tunneled TPU.
+# The axon TPU plugin reads JAX_PLATFORMS from the *spawn* environment (a
+# startup hook caches it before conftest runs), so the env assignments above
+# are ignored when the outer shell exports JAX_PLATFORMS=axon: the TPU would
+# become the default platform and jax.devices()/device_count() (create_mesh,
+# the train CLI) would target the single tunneled chip instead of the
+# 8-device CPU mesh.  The config update below works at runtime as long as no
+# backend has initialized yet — measured: device_count goes 1 (TPU) -> 8.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 

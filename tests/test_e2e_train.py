@@ -1,0 +1,116 @@
+"""End-to-end training CLI: synthetic Ref-YTVOS tree -> cli.train main().
+
+Exercises the CLI glue no unit test covers (reference: /root/reference/main.py
+197-253): dataset build from flags, ClipLoader feeding the jitted SPMD step
+over the 8-device CPU mesh, JSONL/config/debug-image outputs, per-epoch orbax
+checkpointing, and --resume restoring the step counter.
+"""
+import json
+import sys
+
+import numpy as np
+import pytest
+
+h5py = pytest.importorskip("h5py")
+from PIL import Image  # noqa: E402
+
+TINY_CFG = {
+    "enc_layers": 1, "dec_layers": 2, "dim_feedforward": 64,
+    "num_queries": 5, "compute_dtype": "float32",
+    "text_layers": 2, "text_hidden": 128, "text_heads": 4, "text_ffn": 256,
+    "text_vocab": 2048,
+}
+
+H, W = 64, 80
+N_FRAMES = 10
+
+
+@pytest.fixture(scope="module")
+def ytvos_train_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ytvos_e2e")
+    rng = np.random.default_rng(3)
+    video = "vid0"
+    frames = [f"{i:05d}" for i in range(N_FRAMES)]
+    (root / "train" / "JPEGImages" / video).mkdir(parents=True)
+    (root / "train" / "Annotations" / video).mkdir(parents=True)
+    (root / "train" / "AnnotationsWeakly" / video).mkdir(parents=True)
+    for name in frames:
+        img = (rng.random((H, W, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(root / "train" / "JPEGImages" / video / f"{name}.jpg")
+        pal = np.zeros((H, W), np.uint8)
+        pal[20:40, 25:55] = 1
+        Image.fromarray(pal, mode="P").save(
+            root / "train" / "Annotations" / video / f"{name}.png")
+        heat = np.zeros((1, H, W), np.float32)
+        heat[0, 18:42, 22:58] = 0.9
+        with h5py.File(root / "train" / "AnnotationsWeakly" / video / f"{name}.h5", "w") as f:
+            f.create_dataset("obj_ids", data=np.asarray([1]))
+            f.create_dataset("heatPoint", data=heat)
+            f.create_dataset("heatBBox", data=heat)
+    meta = {"videos": {video: {
+        "frames": frames,
+        "expressions": {
+            "0": {"exp": "a red square on the left", "obj_id": "1"},
+        },
+    }}}
+    (root / "meta_expressions" / "train").mkdir(parents=True)
+    with open(root / "meta_expressions" / "train" / "meta_expressions.json", "w") as f:
+        json.dump(meta, f)
+    return root
+
+
+def _run_train_cli(monkeypatch, ytvos_train_tree, out_dir, epochs, resume=None):
+    from ocpg_tpu.cli import train as train_cli
+
+    argv = [
+        "train", "--dataset_file", "ytvos", "--backbone", "resnet50",
+        "--supervision", "box", "--num_frames", "2", "--batch_size", "1",
+        "--epochs", str(epochs), "--num_workers", "2",
+        "--ytvos_path", str(ytvos_train_tree),
+        "--output_dir", str(out_dir),
+        "--canvas", "64", "80",
+        "--log_every", "1", "--tb_every", "0", "--debug_images_every", "2",
+        "--config_overrides", json.dumps(TINY_CFG),
+    ]
+    if resume:
+        argv += ["--resume", str(resume)]
+    monkeypatch.setattr(sys, "argv", argv)
+    train_cli.main()
+
+
+def test_train_cli_and_resume(ytvos_train_tree, tmp_path, monkeypatch):
+    import jax
+
+    out_dir = tmp_path / "run"
+    # 10 metas (1 expression x 10 anchor frames); the CLI's global batch is
+    # batch_size x device_count (8 virtual CPU devices on a CI host; 1 if a
+    # real accelerator claims the default platform)
+    steps_per_epoch = max(10 // jax.device_count(), 1)
+    _run_train_cli(monkeypatch, ytvos_train_tree, out_dir, epochs=1)
+
+    assert (out_dir / "configs").exists()
+
+    with open(out_dir / "log.txt") as f:
+        lines = [json.loads(l) for l in f if l.strip()]
+    assert len(lines) == 1 and lines[0]["epoch"] == 0
+    assert np.isfinite(lines[0]["loss"])
+    assert lines[0]["loss"] > 0
+
+    ckpt_dir = out_dir / "checkpoints"
+    assert ckpt_dir.is_dir() and any(ckpt_dir.iterdir())
+
+    # debug images dumped at iters 0 and 2 (reference engine.py:63-77)
+    debug = sorted((out_dir / "debug_images").glob("*.png"))
+    assert len(debug) >= 3  # pred/target/weak for at least one step
+    assert any("pred" in p.name for p in debug)
+
+    # resume: saved step == 1 epoch -> restart at epoch 1, train one more
+    _run_train_cli(monkeypatch, ytvos_train_tree, out_dir, epochs=2,
+                   resume=ckpt_dir)
+    with open(out_dir / "log.txt") as f:
+        lines = [json.loads(l) for l in f if l.strip()]
+    assert lines[-1]["epoch"] == 1
+    assert np.isfinite(lines[-1]["loss"])
+    from ocpg_tpu.engine.checkpoint import CheckpointManager
+
+    assert CheckpointManager(str(ckpt_dir)).latest_step() == 2 * steps_per_epoch
