@@ -22,8 +22,16 @@ def synthetic_batch(
     text_len: int = 16,
     with_valid_indices: bool = False,
     vocab_size: int = 50265,
+    visible_objects: bool = False,
 ) -> Dict[str, np.ndarray]:
-    """Returns a host batch dict matching make_train_step's expectations."""
+    """Returns a host batch dict matching make_train_step's expectations.
+
+    visible_objects=True blends each clip's object heatmap into the image so
+    the mask is learnable from pixels (noise-only images force the model to
+    memorize masks through the text key — a pathological overfit task used
+    nowhere in the real datasets).  Convergence tests use this; benches and
+    parity tests keep pure-noise inputs (identical compute).
+    """
     b, t, h, w = batch, frames, height, width
     samples = rng.standard_normal((b, t, h, w, 3)).astype(np.float32)
     samples_mask = np.zeros((b, t, h, w), dtype=bool)
@@ -46,6 +54,10 @@ def synthetic_batch(
                 -(((xx - cxj * w) ** 2) / (2 * (bw * w / 3 + 1) ** 2)
                   + ((yy - cy * h) ** 2) / (2 * (bh * h / 3 + 1) ** 2))
             )
+
+    if visible_objects:
+        # dim the noise and paint the object in: pixels carry the mask signal
+        samples = (0.3 * samples + 2.0 * heat[..., None]).astype(np.float32)
 
     text_ids = rng.integers(4, vocab_size - 1, size=(b, text_len)).astype(np.int32)
     text_ids[:, 0] = 0

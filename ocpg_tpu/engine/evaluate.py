@@ -42,6 +42,8 @@ def _eval_forward(model, params, outputs, mesh=None):
 
     jitted = {}
 
+    ndev = int(mesh.devices.size)
+
     def run(*args):
         import jax.numpy as jnp
 
@@ -49,8 +51,21 @@ def _eval_forward(model, params, outputs, mesh=None):
         if n_in not in jitted:
             jitted[n_in] = jax.jit(fwd, in_shardings=(repl,) + (data,) * n_in,
                                    out_shardings=data)
+        # P('data') requires batch % n_devices == 0: pad by repeating the
+        # last sample (loaders usually pre-pad the tail; this guards callers
+        # with arbitrary batch sizes, e.g. pretrain's val loader) and slice
+        # the padding back off the outputs
+        n = int(np.shape(args[0])[0])
+        pad = (-n) % ndev
+        if pad:
+            args = tuple(
+                jnp.concatenate([jnp.asarray(a)] + [jnp.asarray(a)[-1:]] * pad,
+                                axis=0) for a in args)
         placed = [jax.device_put(jnp.asarray(a), data) for a in args]
-        return jitted[n_in](params, *placed)
+        out = jitted[n_in](params, *placed)
+        if pad:
+            out = tuple(o[:n] for o in out)
+        return out
 
     return run
 

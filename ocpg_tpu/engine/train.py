@@ -48,6 +48,7 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     has_valid_indices: bool = False,
     debug_images: bool = False,
+    deterministic: bool = False,
 ) -> Callable[[TrainState, Dict[str, Array]], Tuple[TrainState, Dict[str, Array]]]:
     """Returns a jittable (state, batch) -> (state, metrics) step.
 
@@ -66,7 +67,9 @@ def make_train_step(
             targets=batch["targets"],
             valid_indices=batch.get("valid_indices") if has_valid_indices else None,
             train=True,
-            deterministic=False,
+            # deterministic=True disables dropout (overfit-one-batch tests);
+            # production training keeps it stochastic like the reference
+            deterministic=deterministic,
             rngs={"dropout": dropout_rng},
         )
         total, losses = compute_criterion(criterion_cfg, weight_dict, out,
