@@ -295,10 +295,11 @@ def ms_deform_attn_fast_cm(value, spatial_shapes, x_cm, y_cm, aw_cm,
     convert to the standard layout first (CPU/test paths).  Returns
     (N, Lq, M*D).
     """
-    if impl == "pallas":
+    if impl in ("pallas", "pallas_rep"):
         from .ms_deform_attn_pallas import ms_deform_attn_pallas_cm
 
-        return ms_deform_attn_pallas_cm(value, spatial_shapes, x_cm, y_cm, aw_cm)
+        return ms_deform_attn_pallas_cm(value, spatial_shapes, x_cm, y_cm, aw_cm,
+                                        ryx_mm=(impl == "pallas"))
     locs, attn = _cm_to_standard(x_cm, y_cm, aw_cm)
     if impl == "separable":
         return ms_deform_attn_separable(value, spatial_shapes, locs, attn)
@@ -312,11 +313,12 @@ def _msda_cm_fwd(value, spatial_shapes, x_cm, y_cm, aw_cm, impl):
 
 def _msda_cm_bwd(spatial_shapes, impl, residuals, g):
     value, x_cm, y_cm, aw_cm = residuals
-    if impl == "pallas":
+    if impl in ("pallas", "pallas_rep"):
         from .ms_deform_attn_pallas import ms_deform_attn_pallas_bwd_cm
 
         return ms_deform_attn_pallas_bwd_cm(
-            value, spatial_shapes, x_cm, y_cm, aw_cm, g)
+            value, spatial_shapes, x_cm, y_cm, aw_cm, g,
+            ryx_mm=(impl == "pallas"))
 
     def f(v, x, y, a):
         locs, attn = _cm_to_standard(x, y, a)

@@ -465,12 +465,12 @@ def ms_deform_attn_pallas_bwd(
 # --------------------------------------------------------------------------
 
 
-def _msda_cm_kernel(levels, d, p, tile, tiles_per_chunk,
+def _msda_cm_kernel(levels, d, p, tile, tiles_per_chunk, ryx_mm,
                     x_ref, y_ref, aw_ref, *rest):
     nl = len(levels)
     value_refs = rest[:nl]
-    rep_refs = rest[nl:2 * nl]
-    sel_ref = rest[2 * nl]
+    rep_refs = rest[nl:2 * nl] if ryx_mm else None
+    sel_ref = rest[2 * nl] if ryx_mm else rest[nl]
     out_ref = rest[-1]
 
     def tile_body(j, carry):
@@ -491,9 +491,15 @@ def _msda_cm_kernel(levels, d, p, tile, tiles_per_chunk,
                             preferred_element_type=jnp.float32
                             ).astype(jnp.bfloat16)                   # (tile, D*H)
                 ry = (_hat(y0, y - y0, ih) * aw[:, None]).astype(jnp.bfloat16)
-                ryx = jnp.dot(ry, rep_refs[l][...],
-                              preferred_element_type=jnp.float32
-                              ).astype(jnp.bfloat16)                 # (tile, D*H)
+                if ryx_mm:
+                    ryx = jnp.dot(ry, rep_refs[l][...],
+                                  preferred_element_type=jnp.float32
+                                  ).astype(jnp.bfloat16)             # (tile, D*H)
+                else:
+                    # ryx[q, dd*H + hh] = ry[q, hh]: a pure lane tiling —
+                    # VPU copies instead of an MXU pass whose K = H_l (6..64)
+                    # sits far under the 128-deep array (PROFILE.md round 6)
+                    ryx = pltpu.repeat(ry, d, axis=1)                # (tile, D*H)
                 # P-sum before SEL in f32 (bf16 accumulation measured the
                 # same speed and costs precision — the kernel is matmul-MFU
                 # bound, ~35% at these shapes, PROFILE.md)
@@ -538,7 +544,7 @@ def _cm_tiling(lq: int, tile_q: int):
     return tile_q, pad, qtot, tile_q * tiles_per_chunk, tiles_per_chunk
 
 
-@functools.partial(jax.jit, static_argnums=(1, 5, 6))
+@functools.partial(jax.jit, static_argnums=(1, 5, 6, 7))
 def ms_deform_attn_pallas_cm(
     value: Array,                 # (N, S, M, D)
     spatial_shapes: Shapes,
@@ -547,6 +553,10 @@ def ms_deform_attn_pallas_cm(
     aw_cm: Array,                 # (N, M, L, P, Lq)
     tile_q: int = 512,
     interpret: bool = False,
+    # ryx expansion: True = ry @ REP matmul (production until the
+    # pltpu.repeat lane-tiling variant is measured on the real chip —
+    # scripts/bench_msda_kernel.py --variants cm cm_rep)
+    ryx_mm: bool = True,
 ) -> Array:                       # (N, Lq, M * D)
     n, s, m, d = value.shape
     _, _, l, p, lq = x_cm.shape
@@ -576,16 +586,18 @@ def ms_deform_attn_pallas_cm(
     sspec = pl.BlockSpec((tothd, l * d), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM)
 
+    rep_in_specs = rspecs if ryx_mm else []
+    rep_args = reps if ryx_mm else []
     out = pl.pallas_call(
         functools.partial(_msda_cm_kernel, spatial_shapes, d, p, tile_q,
-                          tiles_per_chunk),
+                          tiles_per_chunk, ryx_mm),
         out_shape=jax.ShapeDtypeStruct((nm, qtot, d), jnp.float32),
         grid=(nm, n_chunks),
-        in_specs=[qspec] * 3 + vspecs + rspecs + [sspec],
+        in_specs=[qspec] * 3 + vspecs + rep_in_specs + [sspec],
         out_specs=pl.BlockSpec((1, chunk, d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(xf, yf, awf, *v_levels, *reps, sel)
+    )(xf, yf, awf, *v_levels, *rep_args, sel)
 
     out = out[:, :lq]
     return out.reshape(n, m, lq, d).transpose(0, 2, 1, 3).reshape(
@@ -705,7 +717,7 @@ def ms_deform_attn_pallas_cm_r4(
         n, lq, m * d).astype(value.dtype)
 
 
-def _msda_cm_bwd_kernel(levels, d, p, tile, tiles_per_chunk,
+def _msda_cm_bwd_kernel(levels, d, p, tile, tiles_per_chunk, ryx_mm,
                         x_ref, y_ref, aw_ref, g_ref, *rest):
     nl = len(levels)
     value_refs = rest[:nl]
@@ -736,9 +748,13 @@ def _msda_cm_bwd_kernel(levels, d, p, tile, tiles_per_chunk,
                 ry = (hy * aw[:, None]).astype(jnp.bfloat16)
                 cx_b = cx.astype(jnp.bfloat16)
 
-                ryx = jnp.dot(ry, rep_refs[l][...],
-                              preferred_element_type=jnp.float32
-                              ).astype(jnp.bfloat16)
+                if ryx_mm:
+                    ryx = jnp.dot(ry, rep_refs[l][...],
+                                  preferred_element_type=jnp.float32
+                                  ).astype(jnp.bfloat16)
+                else:
+                    # lane tiling instead of a K=H_l MXU pass (see forward)
+                    ryx = pltpu.repeat(ry, d, axis=1)
                 a = jnp.dot(cx_b, value_refs[l][0],
                             preferred_element_type=jnp.float32
                             ).astype(jnp.bfloat16)
@@ -776,7 +792,7 @@ def _msda_cm_bwd_kernel(levels, d, p, tile, tiles_per_chunk,
     jax.lax.fori_loop(0, tiles_per_chunk, tile_body, 0)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 6, 7))
+@functools.partial(jax.jit, static_argnums=(1, 6, 7, 8))
 def ms_deform_attn_pallas_bwd_cm(
     value: Array,                 # (N, S, M, D)
     spatial_shapes: Shapes,
@@ -786,6 +802,7 @@ def ms_deform_attn_pallas_bwd_cm(
     grad_out: Array,              # (N, Lq, M*D) cotangent
     tile_q: int = 128,            # 128 measured ~10% faster than 256 (PROFILE.md)
     interpret: bool = False,
+    ryx_mm: bool = True,          # see ms_deform_attn_pallas_cm
 ):
     """Returns (d_value, d_x_cm, d_y_cm, d_aw_cm) — dq grads in CM layout."""
     n, s, m, d = value.shape
@@ -836,7 +853,7 @@ def ms_deform_attn_pallas_bwd_cm(
     )
     outs = pl.pallas_call(
         functools.partial(_msda_cm_bwd_kernel, spatial_shapes, d, p, tile_q,
-                          tiles_per_chunk),
+                          tiles_per_chunk, ryx_mm),
         out_shape=tuple(out_shapes),
         grid=(nm, n_chunks),
         in_specs=[qspec] * 3 + [gspec] + vspecs + rspecs + rdspecs,

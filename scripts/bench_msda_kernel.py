@@ -38,8 +38,8 @@ SHAPE_SETS = {
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--variants", nargs="+", default=["cm", "r4"],
-                    choices=["cm", "r4", "sep"])
+    ap.add_argument("--variants", nargs="+", default=["cm", "cm_rep"],
+                    choices=["cm", "cm_rep", "r4", "sep"])
     ap.add_argument("--shapes", default="eval", choices=list(SHAPE_SETS))
     ap.add_argument("--bwd", action="store_true",
                     help="also time the backward (cm and sep only)")
@@ -70,14 +70,17 @@ def main():
 
     def make_fn(variant):
         kw = {"tile_q": args.tile} if args.tile else {}
-        if variant == "cm":
+        if variant == "cm":      # production (ry @ REP matmul)
             return lambda v, x, y, a: ms_deform_attn_pallas_cm(v, shapes, x, y, a, **kw)
+        if variant == "cm_rep":  # pltpu.repeat lane-tiling instead of the matmul
+            return lambda v, x, y, a: ms_deform_attn_pallas_cm(
+                v, shapes, x, y, a, ryx_mm=False, **kw)
         if variant == "r4":
             return lambda v, x, y, a: ms_deform_attn_pallas_cm_r4(v, shapes, x, y, a, **kw)
         return lambda v, x, y, a: ms_deform_attn_fast_cm(v, shapes, x, y, a, "separable")
 
     def make_bwd(variant):
-        impl = {"cm": "pallas", "sep": "separable"}[variant]
+        impl = {"cm": "pallas", "cm_rep": "pallas_rep", "sep": "separable"}[variant]
 
         def loss(v, x, y, a):
             return (ms_deform_attn_fast_cm(v, shapes, x, y, a, impl)

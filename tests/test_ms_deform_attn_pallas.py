@@ -85,13 +85,17 @@ def _to_cm(locs, attn):
     return x_cm, y_cm, aw_cm
 
 
-def test_pallas_cm_matches_gather_interpret(rng):
-    """Channel-major forward kernel (P-sum before the SEL matmul) vs gather."""
+@pytest.mark.parametrize("ryx_mm", [False, True])
+def test_pallas_cm_matches_gather_interpret(rng, ryx_mm):
+    """Channel-major forward kernel (P-sum before the SEL matmul) vs gather,
+    for both ryx expansions: pltpu.repeat lane-tiling (production) and the
+    legacy ry @ REP matmul (kept for kernel benchmarking)."""
     from ocpg_tpu.ops.ms_deform_attn_pallas import ms_deform_attn_pallas_cm
 
     value, locs, attn = _inputs(rng)
     expected = ms_deform_attn(value, SHAPES, locs, attn)
-    got = ms_deform_attn_pallas_cm(value, SHAPES, *_to_cm(locs, attn), 128, True)
+    got = ms_deform_attn_pallas_cm(value, SHAPES, *_to_cm(locs, attn), 128,
+                                   True, ryx_mm)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                rtol=2e-2, atol=2e-2)
 
@@ -122,7 +126,8 @@ def test_fast_cm_dispatcher_grads_match_gather_autodiff(rng):
                                    rtol=1e-4, atol=1e-4)
 
 
-def test_pallas_cm_backward_matches_autodiff_interpret(rng):
+@pytest.mark.parametrize("ryx_mm", [False, True])
+def test_pallas_cm_backward_matches_autodiff_interpret(rng, ryx_mm):
     """CM Pallas backward vs autodiff of the gather formulation."""
     from ocpg_tpu.ops.ms_deform_attn_pallas import ms_deform_attn_pallas_bwd_cm
 
@@ -138,7 +143,7 @@ def test_pallas_cm_backward_matches_autodiff_interpret(rng):
     dv_ref, dl_ref, da_ref = jax.grad(loss, argnums=(0, 1, 2))(value, locs, attn)
     dx_ref, dy_ref, daw_ref = _to_cm(dl_ref, da_ref)
     dv, dx, dy, daw = ms_deform_attn_pallas_bwd_cm(
-        value, SHAPES, x_cm, y_cm, aw_cm, g, 128, True)
+        value, SHAPES, x_cm, y_cm, aw_cm, g, 128, True, ryx_mm)
     for got, ref in ((dv, dv_ref), (dx, dx_ref), (dy, dy_ref), (daw, daw_ref)):
         got, ref = np.asarray(got, np.float32), np.asarray(ref, np.float32)
         scale = max(np.abs(ref).max(), 1e-6)
