@@ -34,7 +34,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from ..config import OCPGConfig
+    from ..config import OCPGConfig, apply_config_overrides
     from ..data.datasets import build_dataset
     from ..data.loader import ClipLoader
     from ..engine.evaluate import evaluate_a2d
@@ -43,8 +43,7 @@ def main():
 
     cfg = OCPGConfig(backbone=args.backbone, dataset_file=args.dataset_file,
                      num_frames=args.num_frames)
-    if args.config_overrides:
-        cfg = cfg.replace(**json.loads(args.config_overrides))
+    cfg = apply_config_overrides(cfg, args.config_overrides)
     root = args.a2d_path if args.dataset_file == "a2d" else args.jhmdb_path
     dataset = build_dataset(args.dataset_file, root, "val", cfg.num_frames)
     # batch axis shards over the device mesh in evaluate_a2d; the loader pads

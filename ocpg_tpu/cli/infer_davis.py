@@ -44,9 +44,9 @@ def get_args():
 
 
 def apply_overrides(cfg, args):
-    if getattr(args, "config_overrides", None):
-        cfg = cfg.replace(**json.loads(args.config_overrides))
-    return cfg
+    from ..config import apply_config_overrides
+
+    return apply_config_overrides(cfg, getattr(args, "config_overrides", None))
 
 
 def load_frames(img_folder: Path, video: str, frame_names, resize, max_size):

@@ -49,7 +49,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from ..config import OCPGConfig
+    from ..config import OCPGConfig, apply_config_overrides
     from ..data.loader import ClipLoader
     from ..data.refexp import ConcatClipDataset, RefExpDataset
     from ..engine import build_optimizer, create_train_state, make_train_step
@@ -62,10 +62,7 @@ def main():
     cfg = OCPGConfig(backbone=args.backbone, dataset_file=args.dataset_file,
                      supervision="full", num_frames=args.num_frames, lr=args.lr,
                      batch_size=args.batch_size, epochs=args.epochs, seed=args.seed)
-    if args.config_overrides:
-        import json
-
-        cfg = cfg.replace(**json.loads(args.config_overrides))
+    cfg = apply_config_overrides(cfg, args.config_overrides)
     jax.config.update("jax_default_prng_impl", cfg.prng_impl)
 
     ann_dir = Path(args.refexp_ann_dir or args.coco_path)

@@ -12,7 +12,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import json
 import time
 from pathlib import Path
 
@@ -86,7 +85,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from ..config import OCPGConfig
+    from ..config import OCPGConfig, apply_config_overrides
     from ..data.datasets import build_dataset
     from ..data.loader import ClipLoader
     from ..engine import build_optimizer, create_train_state, make_train_step
@@ -120,8 +119,7 @@ def main():
             cfg = cfg.replace(**{flag: v})
     if args.lr_drop is not None:
         cfg = cfg.replace(lr_drop=tuple(args.lr_drop))
-    if args.config_overrides:
-        cfg = cfg.replace(**json.loads(args.config_overrides))
+    cfg = apply_config_overrides(cfg, args.config_overrides)
     # dropout PRNG: 'rbg' lowers to XLA RngBitGenerator — the big dropout
     # masks cost ~10 ms/step less than threefry at train shapes (PROFILE.md)
     jax.config.update("jax_default_prng_impl", cfg.prng_impl)

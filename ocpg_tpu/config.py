@@ -134,3 +134,13 @@ def a2d_videoswin_tiny() -> OCPGConfig:
 
 def davis_videoswin_base() -> OCPGConfig:
     return OCPGConfig(backbone="video_swin_b_p4w7", dataset_file="davis", epochs=10)
+
+
+def apply_config_overrides(cfg: OCPGConfig, overrides_json: Optional[str]) -> OCPGConfig:
+    """Apply a `--config_overrides` JSON dict of field overrides (shared by
+    the CLIs; unknown keys raise via dataclasses.replace)."""
+    if not overrides_json:
+        return cfg
+    import json
+
+    return cfg.replace(**json.loads(overrides_json))

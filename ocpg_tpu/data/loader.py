@@ -35,6 +35,7 @@ class ClipLoader:
         shard_count: int = 1,
         num_workers: int = 4,
         max_text_len: int = 32,
+        text_vocab: Optional[int] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -44,7 +45,17 @@ class ClipLoader:
         self.shard_index = shard_index
         self.shard_count = shard_count
         self.num_workers = num_workers
-        self.tokenizer = tokenizer or SimpleTokenizer(max_len=max_text_len)
+        if tokenizer is None:
+            # A default-vocab (50265) hash tokenizer paired with a smaller
+            # cfg.text_vocab would emit out-of-range ids -> NaN embeddings
+            # with no error; force the caller to state the model's vocab.
+            if text_vocab is None:
+                raise ValueError(
+                    "ClipLoader needs tokenizer= or text_vocab=cfg.text_vocab "
+                    "(the hash-fallback tokenizer must match the model vocab)")
+            tokenizer = SimpleTokenizer(max_len=max_text_len,
+                                        vocab_size=text_vocab)
+        self.tokenizer = tokenizer
 
     def _load_one(self, idx: int, rng: random.Random) -> Dict[str, np.ndarray]:
         # retry-until-valid (ytvos.py:242-246)

@@ -136,6 +136,22 @@ def _inflate_bias_table(table: np.ndarray,
     return np.tile(table, (2 * wt - 1, 1))
 
 
+def swin_convert_spec(backbone: str) -> Tuple[Tuple[int, ...], Tuple[int, int, int]]:
+    """(depths, window_size) for any registered swin backbone name.
+
+    2D swin = VideoSwin at window (1, 7, 7) (backbone_swin2d.py); with a
+    length-1 temporal window `_inflate_bias_table` keeps the 2D bias tables
+    un-tiled ((2*7-1)^2 rows), which is what the 2D modules expect.
+    """
+    if backbone.startswith("video_swin"):
+        from ..models.backbone_video_swin import _CONFIGS
+
+        return tuple(_CONFIGS[backbone]["depths"]), (8, 7, 7)
+    from ..models.backbone_swin2d import _CONFIGS as _CONFIGS_2D
+
+    return tuple(_CONFIGS_2D[backbone]["depths"]), (1, 7, 7)
+
+
 def convert_video_swin(sd: Dict, depths: Tuple[int, ...],
                        window_size: Tuple[int, int, int] = (8, 7, 7)) -> Dict:
     """Video-Swin (or 2D Swin Kinetics-inflatable) state_dict -> VideoSwin params.
@@ -262,10 +278,8 @@ def convert_ocpg(sd: Dict, *, enc_layers: int = 4, dec_layers: int = 4,
                 remapped[f"layers.{parts[1]}.downsample." + ".".join(parts[2:])] = v
             else:
                 remapped[k] = v
-        from ..models.backbone_video_swin import _CONFIGS
-
-        params["backbone"] = convert_video_swin(
-            remapped, tuple(_CONFIGS[backbone]["depths"]))
+        depths, window = swin_convert_spec(backbone)
+        params["backbone"] = convert_video_swin(remapped, depths, window)
         # no BN running stats in a transformer backbone -> no frozen entry
     else:
         layers = (3, 4, 23, 3) if backbone == "resnet101" else (3, 4, 6, 3)

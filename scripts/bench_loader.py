@@ -82,7 +82,8 @@ def main():
         results = {}
         for nw in args.workers:
             loader = ClipLoader(ds, args.batch_size, canvas=(512, 640),
-                                train=True, num_workers=nw)
+                                train=True, num_workers=nw,
+                                text_vocab=50265)
             it = loader.epoch(0)
             next(it)                                   # warm: first batch
             t0 = time.time()

@@ -65,7 +65,7 @@ def test_transforms_and_loader(ytvos_root):
 
     ds = YTVOSDataset(str(ytvos_root), num_frames=3, supervision="box")
     loader = ClipLoader(ds, batch_size=2, canvas=(512, 640), train=True,
-                        num_workers=2)
+                        num_workers=2, text_vocab=50265)
     batches = list(loader.epoch(0))
     assert len(batches) == 3  # 6 samples / batch 2
     b = batches[0]
@@ -198,7 +198,7 @@ def test_eval_loader_covers_all_samples(ytvos_root):
     ds = YTVOSDataset(str(ytvos_root), num_frames=2, supervision="box")
     assert len(ds) == 6
     loader = ClipLoader(ds, batch_size=4, train=False, canvas=(512, 640),
-                        num_workers=2)
+                        num_workers=2, text_vocab=50265)
     batches = list(loader.epoch(0))
     assert len(batches) == 2                       # ceil(6 / 4)
     reals = [b.get("real_count", len(b["samples"])) for b in batches]
@@ -208,7 +208,7 @@ def test_eval_loader_covers_all_samples(ytvos_root):
 
     # train mode keeps drop-remainder semantics (static step count)
     tr = ClipLoader(ds, batch_size=4, train=True, canvas=(512, 640),
-                    num_workers=2)
+                    num_workers=2, text_vocab=50265)
     tr_batches = list(tr.epoch(0))
     assert len(tr_batches) == 1
     assert "real_count" not in tr_batches[0]
@@ -225,7 +225,7 @@ def test_loader_deterministic_across_runs(ytvos_root):
 
     def run():
         loader = ClipLoader(ds, batch_size=2, train=True, canvas=(512, 640),
-                            num_workers=2, seed=7)
+                            num_workers=2, seed=7, text_vocab=50265)
         return {bi: b for bi, b in enumerate(loader.epoch(3))}
 
     a, b = run(), run()

@@ -88,8 +88,9 @@ def _to_cm(locs, attn):
 @pytest.mark.parametrize("ryx_mm", [False, True])
 def test_pallas_cm_matches_gather_interpret(rng, ryx_mm):
     """Channel-major forward kernel (P-sum before the SEL matmul) vs gather,
-    for both ryx expansions: pltpu.repeat lane-tiling (production) and the
-    legacy ry @ REP matmul (kept for kernel benchmarking)."""
+    for both ryx expansions: the ry @ REP matmul (production, ryx_mm=True)
+    and the pltpu.repeat lane-tiling candidate (awaiting on-chip
+    measurement, impl='pallas_rep')."""
     from ocpg_tpu.ops.ms_deform_attn_pallas import ms_deform_attn_pallas_cm
 
     value, locs, attn = _inputs(rng)

@@ -190,3 +190,25 @@ def test_convert_video_swin_2d_checkpoint_roundtrip(depths, embed):
         for i in range(depth):
             tbl = params[f"stage{s}_block{i}"]["attn"]["relative_position_bias_table"]
             assert tbl.shape == (15 * 169, heads[s])
+
+
+def test_swin_convert_spec_covers_all_registered_backbones():
+    """convert_ocpg's swin dispatch must resolve every registered swin name:
+    video variants get window (8,7,7) + temporal bias tiling; 2D variants get
+    (1,7,7) so the (2*7-1)^2-row tables pass through un-tiled (a video-config
+    lookup for a 2D name used to KeyError — regression)."""
+    from ocpg_tpu.models.backbone_swin2d import _CONFIGS as CFG2D
+    from ocpg_tpu.models.backbone_video_swin import _CONFIGS as CFG3D
+    from ocpg_tpu.utils.torch_weights import _inflate_bias_table, swin_convert_spec
+
+    for name, cfg in {**CFG3D, **CFG2D}.items():
+        depths, window = swin_convert_spec(name)
+        assert depths == tuple(cfg["depths"]), name
+        assert window == ((8, 7, 7) if name.startswith("video") else (1, 7, 7)), name
+
+    # 2D table through the 2D window: un-tiled; through the 3D window: 15x rows
+    table = np.arange(169 * 4, dtype=np.float32).reshape(169, 4)
+    np.testing.assert_array_equal(
+        _inflate_bias_table(table, swin_convert_spec("swin_b_p4w7")[1]), table)
+    assert _inflate_bias_table(
+        table, swin_convert_spec("video_swin_b_p4w7")[1]).shape == (15 * 169, 4)
