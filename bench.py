@@ -23,9 +23,12 @@ pipelines with a gather-bound custom CUDA op -> 50-75 f/s; we use the low end
 "About the A100 denominator").  The build target is vs_baseline >= 4.0
 (BASELINE.md: ">=4x A100 clip throughput per v5e chip").
 
-Variants: OCPG_BENCH_BACKBONE=video_swin_b_p4w7 benches the VideoSwin-B model
-(the north-star metric names both, BASELINE.md:25); the default headline stays
-R101 so driver-recorded rounds are comparable.
+Variants: OCPG_BENCH_BACKBONE=video_swin_b_p4w7 benches ONLY the VideoSwin-B
+model; the default headline stays R101 so driver-recorded rounds are
+comparable.  The default run additionally measures the VideoSwin-B half of
+the north-star metric (BASELINE.md names both backbones) and records it as
+`swin_b_*` companion fields in the same JSON line, so every driver round
+captures both halves.  OCPG_BENCH_SKIP_SWIN=1 skips that for quick runs.
 """
 
 import json
@@ -49,7 +52,8 @@ FRAMES, HEIGHT, WIDTH = 5, 384, 640
 ITERS_LONG, ITERS_SHORT, REPEATS = 32, 4, 5
 
 
-def main():
+def measure(backbone: str, bsz: int):
+    """Measure one model's eval-forward throughput; returns (fps, mfu, gflop)."""
     import jax
     import jax.numpy as jnp
 
@@ -57,10 +61,6 @@ def main():
     from ocpg_tpu.models import build_model
     from ocpg_tpu.data.synthetic import synthetic_batch
 
-    backbone = os.environ.get("OCPG_BENCH_BACKBONE", "resnet101")
-    # OCPG_BENCH_BATCH>1 measures batched serving throughput (several clips
-    # per dispatch, as ClipInferenceEngine(per_device_batch>1) issues them)
-    bsz = int(os.environ.get("OCPG_BENCH_BATCH", "1"))
     cfg = a2d_r101_boxsup().replace(compute_dtype="bfloat16", backbone=backbone)
     model, *_ = build_model(cfg)
     rng = np.random.default_rng(0)
@@ -131,6 +131,19 @@ def main():
         deltas.append((t_long - t_short) / (ITERS_LONG - ITERS_SHORT))
     dt = max(sorted(deltas)[len(deltas) // 2], 1e-9)
     fps = bsz * FRAMES / dt
+    # v5e peak: 197 TFLOP/s bf16 (model-level MFU; the XLA cost model
+    # counts nominal HLO flops, so this is conservative for fp32 islands)
+    mfu = flops_per_iter / dt / 197e12 if flops_per_iter > 0 else 0.0
+    return fps, mfu, flops_per_iter / 1e9
+
+
+def main():
+    backbone = os.environ.get("OCPG_BENCH_BACKBONE", "resnet101")
+    # OCPG_BENCH_BATCH>1 measures batched serving throughput (several clips
+    # per dispatch, as ClipInferenceEngine(per_device_batch>1) issues them)
+    bsz = int(os.environ.get("OCPG_BENCH_BATCH", "1"))
+
+    fps, mfu, gflop = measure(backbone, bsz)
     tag = "a2d_r101" if backbone == "resnet101" else f"a2d_{backbone}"
     if bsz > 1:
         tag += f"_b{bsz}"
@@ -140,11 +153,24 @@ def main():
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / ESTIMATED_A100_FPS, 3),
     }
-    if flops_per_iter > 0:
-        # v5e peak: 197 TFLOP/s bf16 (model-level MFU; the XLA cost model
-        # counts nominal HLO flops, so this is conservative for fp32 islands)
-        record["model_mfu"] = round(flops_per_iter / dt / 197e12, 4)
-        record["model_gflop_per_clip"] = round(flops_per_iter / 1e9, 1)
+    if gflop > 0:
+        record["model_mfu"] = round(mfu, 4)
+        record["model_gflop_per_clip"] = round(gflop, 1)
+
+    # Second half of the north-star metric ("A2D R101 + VideoSwin-B",
+    # BASELINE.md:25), recorded in the same driver artifact each round.
+    if (backbone == "resnet101"
+            and not os.environ.get("OCPG_BENCH_SKIP_SWIN")):
+        try:
+            sfps, smfu, sgflop = measure("video_swin_b_p4w7", bsz)
+            record["swin_b_fps"] = round(sfps, 2)
+            record["swin_b_vs_baseline"] = round(sfps / ESTIMATED_A100_FPS, 3)
+            if sgflop > 0:
+                record["swin_b_model_mfu"] = round(smfu, 4)
+                record["swin_b_model_gflop_per_clip"] = round(sgflop, 1)
+        except Exception as e:  # never let the secondary break the headline
+            import sys
+            print(f"swin_b bench failed: {e!r}", file=sys.stderr)
     print(json.dumps(record))
 
 

@@ -295,11 +295,13 @@ def ms_deform_attn_fast_cm(value, spatial_shapes, x_cm, y_cm, aw_cm,
     convert to the standard layout first (CPU/test paths).  Returns
     (N, Lq, M*D).
     """
-    if impl in ("pallas", "pallas_rep"):
+    if impl.startswith("pallas"):
         from .ms_deform_attn_pallas import ms_deform_attn_pallas_cm
 
+        base, hd = _parse_pallas_impl(impl)
         return ms_deform_attn_pallas_cm(value, spatial_shapes, x_cm, y_cm, aw_cm,
-                                        ryx_mm=(impl == "pallas"))
+                                        ryx_mm=(base == "pallas"),
+                                        hat_direct=hd)
     locs, attn = _cm_to_standard(x_cm, y_cm, aw_cm)
     if impl == "separable":
         return ms_deform_attn_separable(value, spatial_shapes, locs, attn)
@@ -311,14 +313,25 @@ def _msda_cm_fwd(value, spatial_shapes, x_cm, y_cm, aw_cm, impl):
     return out, (value, x_cm, y_cm, aw_cm)
 
 
+def _parse_pallas_impl(impl: str):
+    """'pallas[_rep][_hc]' -> (base impl, hat_direct).  The direct
+    relu(1-|x-g|) hat build is the production default (bit-identical,
+    measurably faster — PROFILE.md round-6); the '_hc' suffix selects the
+    legacy floor/frac corner form (A/B knob for
+    scripts/bench_msda_kernel.py; see ms_deform_attn_pallas.py)."""
+    hc = impl.endswith("_hc")
+    return (impl[:-3] if hc else impl), not hc
+
+
 def _msda_cm_bwd(spatial_shapes, impl, residuals, g):
     value, x_cm, y_cm, aw_cm = residuals
-    if impl in ("pallas", "pallas_rep"):
+    if impl.startswith("pallas"):
         from .ms_deform_attn_pallas import ms_deform_attn_pallas_bwd_cm
 
+        base, hd = _parse_pallas_impl(impl)
         return ms_deform_attn_pallas_bwd_cm(
             value, spatial_shapes, x_cm, y_cm, aw_cm, g,
-            ryx_mm=(impl == "pallas"))
+            ryx_mm=(base == "pallas"), hat_direct=hd)
 
     def f(v, x, y, a):
         locs, attn = _cm_to_standard(x, y, a)

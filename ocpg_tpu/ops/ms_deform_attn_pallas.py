@@ -56,6 +56,19 @@ def _hat(center: Array, frac: Array, grid: Array) -> Array:
             + jnp.maximum(0.0, 1.0 - jnp.abs(c + 1.0 - grid)) * f)
 
 
+def _hat_direct(x: Array, grid: Array) -> Array:
+    """The same two-corner hat row computed directly: relu(1 - |x - grid|).
+
+    Algebraically identical to `_hat(floor(x), x - floor(x), grid)` — the
+    floor corner contributes (1-f) at grid==floor(x) and f at floor(x)+1,
+    which is exactly the tent 1-|x-g| clipped at zero, including the OOB-zero
+    (grid_sample 'zeros') semantics for corners outside [0, K-1].  4 VPU ops
+    per row instead of ~11 (no floor/frac) — the hat build is pure VPU work
+    that runs serial to the MXU stages, so this is measurable at kernel level.
+    """
+    return jnp.maximum(0.0, 1.0 - jnp.abs(x[:, None] - grid))
+
+
 def _msda_kernel(levels, d, p, tile, tiles_per_chunk,
                  x_ref, y_ref, aw_ref, *rest):
     nl = len(levels)
@@ -250,6 +263,21 @@ def _hat_pair(center, frac, grid):
     h0 = jnp.maximum(0.0, 1.0 - jnp.abs(c - grid))
     h1 = jnp.maximum(0.0, 1.0 - jnp.abs(c + 1.0 - grid))
     return h0, h1, h0 * (1.0 - frac[:, None]) + h1 * frac[:, None]
+
+
+def _hat_and_deriv_direct(v: Array, grid: Array):
+    """(hat row, d hat/dv row) computed without floor/frac.
+
+    hat(v, g) = relu(1 - |v - g|); its derivative row is sign(g - v) on the
+    open support |v - g| < 1 and zero outside — identical to the corner form
+    `h1 - h0` (spikes -1 at floor(v), +1 at floor(v)+1) everywhere except
+    exactly-integer v, where both are valid subgradients of the kink (the
+    corner form picks the right-sided derivative, this picks 0).  ~9 VPU ops
+    per axis instead of ~16 via `_hat_pair`."""
+    t = grid - v[:, None]
+    at = jnp.abs(t)
+    return (jnp.maximum(0.0, 1.0 - at),
+            jnp.where(at < 1.0, jnp.sign(t), 0.0))
 
 
 def _msda_bwd_kernel(levels, d, p, tile, tiles_per_chunk,
@@ -465,13 +493,19 @@ def ms_deform_attn_pallas_bwd(
 # --------------------------------------------------------------------------
 
 
-def _msda_cm_kernel(levels, d, p, tile, tiles_per_chunk, ryx_mm,
+def _msda_cm_kernel(levels, d, p, tile, tiles_per_chunk, ryx_mm, hat_direct,
                     x_ref, y_ref, aw_ref, *rest):
     nl = len(levels)
     value_refs = rest[:nl]
     rep_refs = rest[nl:2 * nl] if ryx_mm else None
     sel_ref = rest[2 * nl] if ryx_mm else rest[nl]
     out_ref = rest[-1]
+
+    def hat(v, grid):
+        if hat_direct:
+            return _hat_direct(v, grid)
+        v0 = jnp.floor(v)
+        return _hat(v0, v - v0, grid)
 
     def tile_body(j, carry):
         q0 = pl.multiple_of(j * tile, tile)
@@ -484,13 +518,11 @@ def _msda_cm_kernel(levels, d, p, tile, tiles_per_chunk, ryx_mm,
                 x = x_ref[0, l, pi, pl.ds(q0, tile)] * w - 0.5
                 y = y_ref[0, l, pi, pl.ds(q0, tile)] * h - 0.5
                 aw = aw_ref[0, l, pi, pl.ds(q0, tile)]
-                x0 = jnp.floor(x)
-                y0 = jnp.floor(y)
-                cx = _hat(x0, x - x0, iw)                            # (tile, W)
+                cx = hat(x, iw)                                      # (tile, W)
                 a = jnp.dot(cx.astype(jnp.bfloat16), value_refs[l][0],
                             preferred_element_type=jnp.float32
                             ).astype(jnp.bfloat16)                   # (tile, D*H)
-                ry = (_hat(y0, y - y0, ih) * aw[:, None]).astype(jnp.bfloat16)
+                ry = (hat(y, ih) * aw[:, None]).astype(jnp.bfloat16)
                 if ryx_mm:
                     ryx = jnp.dot(ry, rep_refs[l][...],
                                   preferred_element_type=jnp.float32
@@ -544,7 +576,7 @@ def _cm_tiling(lq: int, tile_q: int):
     return tile_q, pad, qtot, tile_q * tiles_per_chunk, tiles_per_chunk
 
 
-@functools.partial(jax.jit, static_argnums=(1, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(1, 5, 6, 7, 8))
 def ms_deform_attn_pallas_cm(
     value: Array,                 # (N, S, M, D)
     spatial_shapes: Shapes,
@@ -557,6 +589,11 @@ def ms_deform_attn_pallas_cm(
     # pltpu.repeat lane-tiling variant is measured on the real chip —
     # scripts/bench_msda_kernel.py --variants cm cm_rep)
     ryx_mm: bool = True,
+    # hat rows built directly as relu(1-|x-g|) (4 VPU ops) instead of via
+    # floor/frac corner form (~11); bit-identical output on-chip, fwd
+    # 9.72 -> 7.50 ms/call at eval shapes (PROFILE.md round-6) — A/B via
+    # scripts/bench_msda_kernel.py --variants cm cm_hc
+    hat_direct: bool = True,
 ) -> Array:                       # (N, Lq, M * D)
     n, s, m, d = value.shape
     _, _, l, p, lq = x_cm.shape
@@ -590,7 +627,7 @@ def ms_deform_attn_pallas_cm(
     rep_args = reps if ryx_mm else []
     out = pl.pallas_call(
         functools.partial(_msda_cm_kernel, spatial_shapes, d, p, tile_q,
-                          tiles_per_chunk, ryx_mm),
+                          tiles_per_chunk, ryx_mm, hat_direct),
         out_shape=jax.ShapeDtypeStruct((nm, qtot, d), jnp.float32),
         grid=(nm, n_chunks),
         in_specs=[qspec] * 3 + vspecs + rep_in_specs + [sspec],
@@ -718,7 +755,7 @@ def ms_deform_attn_pallas_cm_r4(
 
 
 def _msda_cm_bwd_kernel(levels, d, p, tile, tiles_per_chunk, ryx_mm,
-                        x_ref, y_ref, aw_ref, g_ref, *rest):
+                        hat_direct, x_ref, y_ref, aw_ref, g_ref, *rest):
     nl = len(levels)
     value_refs = rest[:nl]
     rep_refs = rest[nl:2 * nl]
@@ -726,6 +763,13 @@ def _msda_cm_bwd_kernel(levels, d, p, tile, tiles_per_chunk, ryx_mm,
     dv_refs = rest[3 * nl:4 * nl]
     dx_ref, dy_ref, daw_ref = rest[4 * nl:4 * nl + 3]
     j_chunk = pl.program_id(1)
+
+    def hat_and_deriv(v, grid):
+        if hat_direct:
+            return _hat_and_deriv_direct(v, grid)
+        v0 = jnp.floor(v)
+        h0, h1, full = _hat_pair(v0, v - v0, grid)
+        return full, h1 - h0
 
     def tile_body(j, carry):
         q0 = pl.multiple_of(j * tile, tile)
@@ -741,10 +785,8 @@ def _msda_cm_bwd_kernel(levels, d, p, tile, tiles_per_chunk, ryx_mm,
                 x = x_ref[0, l, pi, pl.ds(q0, tile)] * w - 0.5
                 y = y_ref[0, l, pi, pl.ds(q0, tile)] * h - 0.5
                 aw = aw_ref[0, l, pi, pl.ds(q0, tile)]
-                x0 = jnp.floor(x)
-                y0 = jnp.floor(y)
-                h0x, h1x, cx = _hat_pair(x0, x - x0, iw)             # (tile, W)
-                hy0, hy1, hy = _hat_pair(y0, y - y0, ih)             # (tile, H)
+                cx, dxrow = hat_and_deriv(x, iw)                     # (tile, W)
+                hy, dyrow = hat_and_deriv(y, ih)                     # (tile, H)
                 ry = (hy * aw[:, None]).astype(jnp.bfloat16)
                 cx_b = cx.astype(jnp.bfloat16)
 
@@ -779,20 +821,20 @@ def _msda_cm_bwd_kernel(levels, d, p, tile, tiles_per_chunk, ryx_mm,
                     preferred_element_type=jnp.float32)              # (tile, W)
                 # d/dx in pixel units; the caller's x is normalized, scale by W
                 dx_ref[0, l, pi, pl.ds(q0, tile)] = (
-                    (dcx * (h1x - h0x)).sum(axis=1) * w)
+                    (dcx * dxrow).sum(axis=1) * w)
 
                 dry = jax.lax.dot_general(
                     gxH * a, rep_refs[l][...], (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)              # (tile, H)
                 daw_ref[0, l, pi, pl.ds(q0, tile)] = (dry * hy).sum(axis=1)
                 dy_ref[0, l, pi, pl.ds(q0, tile)] = (
-                    aw * (dry * (hy1 - hy0)).sum(axis=1) * h)
+                    aw * (dry * dyrow).sum(axis=1) * h)
         return carry
 
     jax.lax.fori_loop(0, tiles_per_chunk, tile_body, 0)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(1, 6, 7, 8, 9))
 def ms_deform_attn_pallas_bwd_cm(
     value: Array,                 # (N, S, M, D)
     spatial_shapes: Shapes,
@@ -803,6 +845,8 @@ def ms_deform_attn_pallas_bwd_cm(
     tile_q: int = 128,            # 128 measured ~10% faster than 256 (PROFILE.md)
     interpret: bool = False,
     ryx_mm: bool = True,          # see ms_deform_attn_pallas_cm
+    # bit-identical, bwd 27.06 -> 22.43 ms/call (PROFILE.md round-6)
+    hat_direct: bool = True,      # see ms_deform_attn_pallas_cm
 ):
     """Returns (d_value, d_x_cm, d_y_cm, d_aw_cm) — dq grads in CM layout."""
     n, s, m, d = value.shape
@@ -853,7 +897,7 @@ def ms_deform_attn_pallas_bwd_cm(
     )
     outs = pl.pallas_call(
         functools.partial(_msda_cm_bwd_kernel, spatial_shapes, d, p, tile_q,
-                          tiles_per_chunk, ryx_mm),
+                          tiles_per_chunk, ryx_mm, hat_direct),
         out_shape=tuple(out_shapes),
         grid=(nm, n_chunks),
         in_specs=[qspec] * 3 + [gspec] + vspecs + rspecs + rdspecs,

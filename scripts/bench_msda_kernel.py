@@ -7,7 +7,8 @@ n_short), with the iterations chained inside one jitted lax.scan so the
 tunneled platform's dispatch latency cannot distort the measurement.
 
 Variants:
-  cm      — production channel-major Pallas kernel (separable hat-matmuls)
+  cm      — production channel-major Pallas kernel (separable hat-matmuls,
+            direct relu(1-|x-g|) hat rows); cm_hc = legacy corner hat rows
   r4      — rank-4 dense-row formulation (VPU outer product + full-K MXU pass)
   sep     — XLA separable matmul formulation
 Shapes: --shapes eval (384x640 A2D bench) | train (512x640) | l0 (level-0 only)
@@ -39,12 +40,17 @@ SHAPE_SETS = {
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variants", nargs="+", default=["cm", "cm_rep"],
-                    choices=["cm", "cm_rep", "r4", "sep"])
+                    choices=["cm", "cm_rep", "cm_hc", "cm_rep_hc", "r4", "sep"])
     ap.add_argument("--shapes", default="eval", choices=list(SHAPE_SETS))
     ap.add_argument("--bwd", action="store_true",
                     help="also time the backward (cm and sep only)")
     ap.add_argument("--n", type=int, default=5, help="frames (batch)")
     ap.add_argument("--tile", type=int, default=0, help="override tile_q")
+    ap.add_argument("--check", default="sep", choices=["sep", "cm", "none"],
+                    help="correctness reference: 'sep' materializes huge XLA "
+                         "separable intermediates at full eval shapes (can "
+                         "thrash HBM on a 16GB chip) — 'cm' cross-checks "
+                         "variants against the production kernel instead")
     args = ap.parse_args()
 
     import jax
@@ -75,12 +81,19 @@ def main():
         if variant == "cm_rep":  # pltpu.repeat lane-tiling instead of the matmul
             return lambda v, x, y, a: ms_deform_attn_pallas_cm(
                 v, shapes, x, y, a, ryx_mm=False, **kw)
+        if variant == "cm_hc":   # legacy floor/frac corner hat rows
+            return lambda v, x, y, a: ms_deform_attn_pallas_cm(
+                v, shapes, x, y, a, hat_direct=False, **kw)
+        if variant == "cm_rep_hc":
+            return lambda v, x, y, a: ms_deform_attn_pallas_cm(
+                v, shapes, x, y, a, ryx_mm=False, hat_direct=False, **kw)
         if variant == "r4":
             return lambda v, x, y, a: ms_deform_attn_pallas_cm_r4(v, shapes, x, y, a, **kw)
         return lambda v, x, y, a: ms_deform_attn_fast_cm(v, shapes, x, y, a, "separable")
 
     def make_bwd(variant):
-        impl = {"cm": "pallas", "cm_rep": "pallas_rep", "sep": "separable"}[variant]
+        impl = {"cm": "pallas", "cm_rep": "pallas_rep", "cm_hc": "pallas_hc",
+                "cm_rep_hc": "pallas_rep_hc", "sep": "separable"}[variant]
 
         def loss(v, x, y, a):
             return (ms_deform_attn_fast_cm(v, shapes, x, y, a, impl)
@@ -121,13 +134,18 @@ def main():
         return ms
 
     # correctness cross-check at these shapes before timing
-    ref = np.asarray(ms_deform_attn_fast_cm(value, shapes, x_cm, y_cm, aw_cm,
-                                            "separable"), np.float32)
-    for variant in args.variants:
-        out = np.asarray(make_fn(variant)(value, x_cm, y_cm, aw_cm), np.float32)
-        err = np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-6)
-        print(f"{variant}: max rel err vs separable = {err:.2e}", flush=True)
-        assert err < 2e-2, f"{variant} diverges"
+    if args.check != "none":
+        if args.check == "sep":
+            ref = np.asarray(ms_deform_attn_fast_cm(
+                value, shapes, x_cm, y_cm, aw_cm, "separable"), np.float32)
+        else:
+            ref = np.asarray(ms_deform_attn_pallas_cm(
+                value, shapes, x_cm, y_cm, aw_cm), np.float32)
+        for variant in args.variants:
+            out = np.asarray(make_fn(variant)(value, x_cm, y_cm, aw_cm), np.float32)
+            err = np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-6)
+            print(f"{variant}: max rel err vs {args.check} = {err:.2e}", flush=True)
+            assert err < 2e-2, f"{variant} diverges"
 
     for variant in args.variants:
         timed(make_fn(variant), f"fwd/{variant}/{args.shapes}")

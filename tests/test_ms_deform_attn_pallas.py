@@ -86,19 +86,53 @@ def _to_cm(locs, attn):
 
 
 @pytest.mark.parametrize("ryx_mm", [False, True])
-def test_pallas_cm_matches_gather_interpret(rng, ryx_mm):
+@pytest.mark.parametrize("hat_direct", [False, True])
+def test_pallas_cm_matches_gather_interpret(rng, ryx_mm, hat_direct):
     """Channel-major forward kernel (P-sum before the SEL matmul) vs gather,
-    for both ryx expansions: the ry @ REP matmul (production, ryx_mm=True)
-    and the pltpu.repeat lane-tiling candidate (awaiting on-chip
-    measurement, impl='pallas_rep')."""
+    for both ryx expansions — the ry @ REP matmul (production, ryx_mm=True)
+    and the pltpu.repeat lane-tiling candidate (impl='pallas_rep') — and both
+    hat-row builds (direct relu(1-|x-g|) production form vs legacy
+    floor/frac corner form)."""
     from ocpg_tpu.ops.ms_deform_attn_pallas import ms_deform_attn_pallas_cm
 
     value, locs, attn = _inputs(rng)
     expected = ms_deform_attn(value, SHAPES, locs, attn)
     got = ms_deform_attn_pallas_cm(value, SHAPES, *_to_cm(locs, attn), 128,
-                                   True, ryx_mm)
+                                   True, ryx_mm, hat_direct)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_pallas_cm_hat_forms_bit_identical_interpret(rng):
+    """The direct relu(1-|x-g|) hat build and the floor/frac corner form are
+    algebraically the same function.  Forward outputs are bit-identical (the
+    hat rows pass through a bf16 cast that absorbs the forms' 1-ULP f32
+    rounding difference at the upper corner: `1 - frac` vs `(c+1) - v` each
+    round once, possibly differently).  Backward grads consume the f32 hat
+    rows directly, so they agree to 1 ULP rather than bit-exactly; the
+    derivative rows additionally differ only at exactly-integer sampling
+    coordinates (both are valid subgradients there, a measure-zero set)."""
+    from ocpg_tpu.ops.ms_deform_attn_pallas import (
+        ms_deform_attn_pallas_bwd_cm, ms_deform_attn_pallas_cm)
+
+    value, locs, attn = _inputs(rng)
+    x_cm, y_cm, aw_cm = _to_cm(locs, attn)
+    a = ms_deform_attn_pallas_cm(value, SHAPES, x_cm, y_cm, aw_cm, 128,
+                                 True, True, True)
+    b = ms_deform_attn_pallas_cm(value, SHAPES, x_cm, y_cm, aw_cm, 128,
+                                 True, True, False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    g = jnp.asarray(np.random.default_rng(7).random(
+        (value.shape[0], locs.shape[1], value.shape[2] * value.shape[3])),
+        jnp.float32)
+    ga = ms_deform_attn_pallas_bwd_cm(value, SHAPES, x_cm, y_cm, aw_cm, g,
+                                      128, True, True, True)
+    gb = ms_deform_attn_pallas_bwd_cm(value, SHAPES, x_cm, y_cm, aw_cm, g,
+                                      128, True, True, False)
+    for x, y in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=2e-7,
+                                   atol=0)
 
 
 def test_fast_cm_dispatcher_grads_match_gather_autodiff(rng):
@@ -128,7 +162,8 @@ def test_fast_cm_dispatcher_grads_match_gather_autodiff(rng):
 
 
 @pytest.mark.parametrize("ryx_mm", [False, True])
-def test_pallas_cm_backward_matches_autodiff_interpret(rng, ryx_mm):
+@pytest.mark.parametrize("hat_direct", [False, True])
+def test_pallas_cm_backward_matches_autodiff_interpret(rng, ryx_mm, hat_direct):
     """CM Pallas backward vs autodiff of the gather formulation."""
     from ocpg_tpu.ops.ms_deform_attn_pallas import ms_deform_attn_pallas_bwd_cm
 
@@ -144,7 +179,7 @@ def test_pallas_cm_backward_matches_autodiff_interpret(rng, ryx_mm):
     dv_ref, dl_ref, da_ref = jax.grad(loss, argnums=(0, 1, 2))(value, locs, attn)
     dx_ref, dy_ref, daw_ref = _to_cm(dl_ref, da_ref)
     dv, dx, dy, daw = ms_deform_attn_pallas_bwd_cm(
-        value, SHAPES, x_cm, y_cm, aw_cm, g, 128, True, ryx_mm)
+        value, SHAPES, x_cm, y_cm, aw_cm, g, 128, True, ryx_mm, hat_direct)
     for got, ref in ((dv, dv_ref), (dx, dx_ref), (dy, dy_ref), (daw, daw_ref)):
         got, ref = np.asarray(got, np.float32), np.asarray(ref, np.float32)
         scale = max(np.abs(ref).max(), 1e-6)
