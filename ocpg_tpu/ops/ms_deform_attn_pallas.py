@@ -268,16 +268,22 @@ def _hat_pair(center, frac, grid):
 def _hat_and_deriv_direct(v: Array, grid: Array):
     """(hat row, d hat/dv row) computed without floor/frac.
 
-    hat(v, g) = relu(1 - |v - g|); its derivative row is sign(g - v) on the
-    open support |v - g| < 1 and zero outside — identical to the corner form
-    `h1 - h0` (spikes -1 at floor(v), +1 at floor(v)+1) everywhere except
-    exactly-integer v, where both are valid subgradients of the kink (the
-    corner form picks the right-sided derivative, this picks 0).  ~9 VPU ops
-    per axis instead of ~16 via `_hat_pair`."""
+    hat(v, g) = relu(1 - |v - g|); its RIGHT-SIDED derivative row is
+    +1 on 0 < g-v <= 1, -1 on -1 < g-v <= 0, 0 outside — identical to the
+    corner form `h1 - h0` (spikes -1 at floor(v), +1 at floor(v)+1)
+    EVERYWHERE, including exactly-integer v.  The right-sided convention is
+    load-bearing: at f32 bench scale (~3M sampling coords) dozens of
+    coordinates land exactly on integers, and the gather oracle's autodiff
+    (and the reference CUDA col2im, ms_deform_im2col_cuda.cuh:301+, whose
+    floor/frac algebra bakes in the same convention) produce the right-sided
+    subgradient there — an `open-interval sign(g-v)` form returned 0 and
+    failed on-chip parity by 20% max-rel (TPU_PARITY.json history).
+    ~10 VPU ops per axis instead of ~16 via `_hat_pair`."""
     t = grid - v[:, None]
     at = jnp.abs(t)
-    return (jnp.maximum(0.0, 1.0 - at),
-            jnp.where(at < 1.0, jnp.sign(t), 0.0))
+    deriv = jnp.where((t > -1.0) & (t <= 1.0),
+                      jnp.where(t > 0.0, 1.0, -1.0), 0.0)
+    return jnp.maximum(0.0, 1.0 - at), deriv
 
 
 def _msda_bwd_kernel(levels, d, p, tile, tiles_per_chunk,
@@ -845,7 +851,7 @@ def ms_deform_attn_pallas_bwd_cm(
     tile_q: int = 128,            # 128 measured ~10% faster than 256 (PROFILE.md)
     interpret: bool = False,
     ryx_mm: bool = True,          # see ms_deform_attn_pallas_cm
-    # bit-identical, bwd 27.06 -> 22.43 ms/call (PROFILE.md round-6)
+    # bit-identical, bwd 27.06 -> 22.34 ms/call (PROFILE.md round-6)
     hat_direct: bool = True,      # see ms_deform_attn_pallas_cm
 ):
     """Returns (d_value, d_x_cm, d_y_cm, d_aw_cm) — dq grads in CM layout."""

@@ -110,8 +110,9 @@ def test_pallas_cm_hat_forms_bit_identical_interpret(rng):
     rounding difference at the upper corner: `1 - frac` vs `(c+1) - v` each
     round once, possibly differently).  Backward grads consume the f32 hat
     rows directly, so they agree to 1 ULP rather than bit-exactly; the
-    derivative rows additionally differ only at exactly-integer sampling
-    coordinates (both are valid subgradients there, a measure-zero set)."""
+    derivative rows agree everywhere, including at exactly-integer sampling
+    coordinates (both forms produce the right-sided subgradient of the
+    kink — see test_pallas_cm_backward_exact_integer_coords)."""
     from ocpg_tpu.ops.ms_deform_attn_pallas import (
         ms_deform_attn_pallas_bwd_cm, ms_deform_attn_pallas_cm)
 
@@ -133,6 +134,44 @@ def test_pallas_cm_hat_forms_bit_identical_interpret(rng):
     for x, y in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=2e-7,
                                    atol=0)
+
+
+def test_pallas_cm_backward_exact_integer_coords(rng):
+    """Sampling coordinates that land EXACTLY on integer pixels (a kink of
+    the bilinear hat).  At f32 bench scale dozens of coordinates do this, and
+    the gather oracle's autodiff — like the reference CUDA col2im, whose
+    floor/frac algebra bakes the convention in — produces the RIGHT-SIDED
+    subgradient there.  Regression for the open-interval sign(g-v) derivative
+    form that returned 0 at the kink and failed on-chip parity by 20% max-rel
+    (TPU_PARITY.json history)."""
+    from ocpg_tpu.ops.ms_deform_attn_pallas import ms_deform_attn_pallas_bwd_cm
+
+    value, locs, attn = _inputs(rng)
+    # level 0 is (H=6, W=4): x_norm=(k+0.5)/4 and y_norm in {0.25, 0.75} hit
+    # integer pixel coords exactly in f32 ((k+0.5)/4*4-0.5 == k, 0.25*6-0.5
+    # == 1.0); mix interior and edge (x=0) kinks across queries/points
+    locs = np.array(locs)
+    locs[0, :, :, 0, 0, 0] = 0.125   # x = 0.0 (left-edge kink)
+    locs[0, :, :, 0, 1, 0] = 0.625   # x = 2.0
+    locs[0, :, :, 0, 0, 1] = 0.25    # y = 1.0
+    locs[1, :, :, 0, 2, 1] = 0.75    # y = 4.0
+    locs = jnp.asarray(locs, jnp.float32)
+    x_cm, y_cm, aw_cm = _to_cm(locs, attn)
+    g = jnp.asarray(np.random.default_rng(11).random(
+        (value.shape[0], locs.shape[1], value.shape[2] * value.shape[3])),
+        jnp.float32)
+
+    def loss(v, l, a):
+        return (ms_deform_attn(v, SHAPES, l, a) * g).sum()
+
+    dv_ref, dl_ref, da_ref = jax.grad(loss, argnums=(0, 1, 2))(value, locs, attn)
+    dx_ref, dy_ref, daw_ref = _to_cm(dl_ref, da_ref)
+    dv, dx, dy, daw = ms_deform_attn_pallas_bwd_cm(
+        value, SHAPES, x_cm, y_cm, aw_cm, g, 128, True)
+    for got, ref in ((dv, dv_ref), (dx, dx_ref), (dy, dy_ref), (daw, daw_ref)):
+        got, ref = np.asarray(got, np.float32), np.asarray(ref, np.float32)
+        scale = max(np.abs(ref).max(), 1e-6)
+        np.testing.assert_allclose(got / scale, ref / scale, atol=6e-3)
 
 
 def test_fast_cm_dispatcher_grads_match_gather_autodiff(rng):
