@@ -94,6 +94,10 @@ class OCPGConfig:
     # when it compiles on the current backend, else the XLA gather path.
     # ('pallas' | 'separable' | 'xla' force a specific path.)
     msda_impl: str = "auto"
+    # Swin window attention: 'auto' -> 'xla' (batched einsums).  The fused
+    # Pallas kernel (ops/window_attention_pallas.py) is kept as a measured
+    # NEGATIVE result — 'pallas' forces it for A/B runs (PROFILE.md).
+    swin_attn_impl: str = "auto"
 
     # * Parallelism: mesh axis sizes; data axis shards (batch*time)
     data_parallel: int = 1

@@ -27,7 +27,8 @@ _CONFIGS = {
 
 
 def build_swin_2d(arch: str, dtype=jnp.float32, name: Optional[str] = None,
-                  use_checkpoint: bool = False) -> VideoSwin:
+                  use_checkpoint: bool = False, attn_impl: str = "xla") -> VideoSwin:
     cfg = _CONFIGS[arch]
     return VideoSwin(dtype=dtype, name=name, use_checkpoint=use_checkpoint,
-                     num_frames=1, window_size=(1, 7, 7), **cfg)
+                     num_frames=1, window_size=(1, 7, 7), attn_impl=attn_impl,
+                     **cfg)

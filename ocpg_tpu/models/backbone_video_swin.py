@@ -91,10 +91,15 @@ class WindowAttention3D(nn.Module):
     num_heads: int
     dtype: jnp.dtype = jnp.float32
     full_window: Optional[Tuple[int, int, int]] = None
+    attn_impl: str = "xla"                  # 'pallas' = fused VMEM-resident kernel
 
     @nn.compact
     def __call__(self, x: Array, mask: Optional[Array]) -> Array:
         # x: (B_windows, N, C); mask: (nW, N, N) or None
+        from ..ops.window_attention_pallas import (heads_per_group,
+                                                   window_attention,
+                                                   window_attention_xla)
+
         bw, n, c = x.shape
         h = self.num_heads
         dh = c // h
@@ -108,7 +113,7 @@ class WindowAttention3D(nn.Module):
         )
         rel_idx = jnp.asarray(_relative_position_index(full)[:n, :n])
         bias = bias_table[rel_idx.reshape(-1)].reshape(n, n, h)
-        bias = bias.transpose(2, 0, 1)[None]                             # (1, H, N, N)
+        bias = bias.transpose(2, 0, 1)                                   # (H, N, N)
 
         # qkv stays in its Dense output layout and is sliced (not transposed):
         # the explicit (3, B, H, N, Dh) transpose materialized a full relayout
@@ -118,20 +123,17 @@ class WindowAttention3D(nn.Module):
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(bw, n, 3, h, dh)
         q, k, v = qkv[:, :, 0] * (dh ** -0.5), qkv[:, :, 1], qkv[:, :, 2]
-        # logits stored in compute dtype (f32 matmul accumulation): the
-        # (bw, H, N, N) buffer is the backbone's largest HBM tenant — bf16
-        # halves its traffic.  The softmax itself runs in f32 (upcast fused
-        # into the reduction, downcast into the attn@v operand), matching the
-        # reference's AMP semantics: fp16 logits, autocast-fp32 softmax.
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
-                          preferred_element_type=jnp.float32).astype(self.dtype)
-        attn = attn + bias.astype(self.dtype)
-        if mask is not None:
-            nw = mask.shape[0]
-            attn = attn.reshape(bw // nw, nw, h, n, n) + jnp.asarray(mask, self.dtype)[None, :, None]
-            attn = attn.reshape(bw, h, n, n)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+        if self.attn_impl == "pallas" and heads_per_group(h, dh) is not None:
+            # fused Pallas kernel: the (bw, H, N, N) logits never touch HBM
+            # (ops/window_attention_pallas.py; backward = XLA recompute)
+            out = window_attention(q, k, v, bias, mask, self.dtype)
+        else:
+            # XLA path: logits stored in compute dtype (f32 matmul
+            # accumulation) — the (bw, H, N, N) buffer is the backbone's
+            # largest HBM tenant, bf16 halves its traffic; softmax in f32,
+            # matching the reference's AMP semantics (fp16 logits,
+            # autocast-fp32 softmax).
+            out = window_attention_xla(q, k, v, bias, mask, self.dtype)
         out = out.reshape(bw, n, c)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
@@ -145,6 +147,7 @@ class SwinBlock3D(nn.Module):
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -172,7 +175,8 @@ class SwinBlock3D(nn.Module):
         xw = xw.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(-1, ws[0] * ws[1] * ws[2], c)
 
         attn = WindowAttention3D(self.dim, ws, self.num_heads, dtype=self.dtype,
-                                 full_window=self.window_size, name="attn")(xw, mask)
+                                 full_window=self.window_size,
+                                 attn_impl=self.attn_impl, name="attn")(xw, mask)
 
         # reverse partition
         attn = attn.reshape(b, tp // ws[0], hp // ws[1], wp // ws[2], ws[0], ws[1], ws[2], c)
@@ -236,6 +240,7 @@ class VideoSwin(nn.Module):
     drop_path_rate: float = 0.2
     use_checkpoint: bool = False
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
 
     @property
     def num_channels(self):
@@ -268,7 +273,8 @@ class VideoSwin(nn.Module):
                 x = block_cls(
                     dim, heads, self.window_size, shift=(i % 2 == 1),
                     mlp_ratio=self.mlp_ratio, drop_path=float(dpr[block_idx]),
-                    dtype=self.dtype, name=f"stage{stage}_block{i}",
+                    dtype=self.dtype, attn_impl=self.attn_impl,
+                    name=f"stage{stage}_block{i}",
                 )(x, deterministic)
                 block_idx += 1
             # per-stage output BEFORE downsample (reference :690-701)
@@ -288,7 +294,8 @@ _CONFIGS = {
 
 
 def build_video_swin(arch: str, dtype=jnp.float32, name: Optional[str] = None,
-                     use_checkpoint: bool = False, num_frames: int = 1) -> VideoSwin:
+                     use_checkpoint: bool = False, num_frames: int = 1,
+                     attn_impl: str = "xla") -> VideoSwin:
     cfg = _CONFIGS[arch]
     return VideoSwin(dtype=dtype, name=name, use_checkpoint=use_checkpoint,
-                     num_frames=num_frames, **cfg)
+                     num_frames=num_frames, attn_impl=attn_impl, **cfg)

@@ -46,6 +46,14 @@ def build_model(cfg: OCPGConfig) -> Tuple[OCPG, MatcherConfig, CriterionConfig, 
         from ..ops.ms_deform_attn_pallas import pallas_available
 
         cfg = cfg.replace(msda_impl="pallas" if pallas_available() else "xla")
+    if cfg.swin_attn_impl == "auto":
+        # 'auto' resolves to XLA: the fused Pallas window-attention kernel
+        # measured SLOWER than the batched-einsum XLA path on v5e (2x at
+        # stage-3 shapes — window attention is MXU-row-bound once logits are
+        # bf16-stored, and XLA's batched matmuls use the MXUs better than
+        # sequential per-head dots; PROFILE.md "fused window attention").
+        # 'pallas' stays forceable for A/B measurement.
+        cfg = cfg.replace(swin_attn_impl="xla")
     model = OCPG(cfg)
     matcher_cfg = MatcherConfig(
         cost_class=cfg.set_cost_class,

@@ -85,12 +85,14 @@ class OCPG(nn.Module):
 
             backbone = build_video_swin(cfg.backbone, dtype=dtype, name="backbone",
                                         use_checkpoint=cfg.use_checkpoint,
-                                        num_frames=t_in)
+                                        num_frames=t_in,
+                                        attn_impl=cfg.swin_attn_impl)
         elif cfg.backbone.startswith("swin"):
             from .backbone_swin2d import build_swin_2d
 
             backbone = build_swin_2d(cfg.backbone, dtype=dtype, name="backbone",
-                                     use_checkpoint=cfg.use_checkpoint)
+                                     use_checkpoint=cfg.use_checkpoint,
+                                     attn_impl=cfg.swin_attn_impl)
         else:
             raise NotImplementedError(cfg.backbone)
         feats = list(backbone(frames))

@@ -129,6 +129,45 @@ def main():
 
     rep("stage2 window attn (sliced, f32 logits+softmax)", timeit(attn_sliced_bf16sm, xw))
 
+    from ocpg_tpu.ops.window_attention_pallas import window_attention_fused
+    bias_hnn = bias_nnh.transpose(2, 0, 1).astype(jnp.float32)
+
+    def attn_fused(x):
+        qkv = (x @ wqkv).reshape(bw, n, 3, h, dh)
+        q = qkv[:, :, 0] * (dh ** -0.5)
+        o = window_attention_fused(q, qkv[:, :, 1], qkv[:, :, 2], bias_hnn, None)
+        return o.reshape(bw, n, c) @ wproj
+
+    rep("stage2 window attn (fused pallas kernel)", timeit(attn_fused, xw))
+
+    # stage-1 shape: many small windows — grid-step overhead check
+    bw1, c1, h1 = 322, 128, 4
+    dh1 = c1 // h1
+    xw1 = jnp.asarray(rng.standard_normal((bw1, n, c1)), jnp.bfloat16)
+    wqkv1 = jnp.asarray(rng.standard_normal((c1, 3 * c1)) * 0.02, jnp.bfloat16)
+    wproj1 = jnp.asarray(rng.standard_normal((c1, c1)) * 0.02, jnp.bfloat16)
+    bias1 = jnp.asarray(rng.standard_normal((h1, n, n)), jnp.float32)
+
+    def attn1_sliced(x):
+        qkv = (x @ wqkv1).reshape(bw1, n, 3, h1, dh1)
+        q = qkv[:, :, 0] * (dh1 ** -0.5)
+        a = jnp.einsum("bnhd,bmhd->bhnm", q, qkv[:, :, 1],
+                       preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        a = a + bias1[None].astype(jnp.bfloat16)
+        a = jax.nn.softmax(a.astype(jnp.float32), axis=-1).astype(jnp.bfloat16)
+        o = jnp.einsum("bhnm,bmhd->bnhd", a, qkv[:, :, 2])
+        return o.reshape(bw1, n, c1) @ wproj1
+
+    rep("stage1 window attn (sliced qkv, xla)", timeit(attn1_sliced, xw1))
+
+    def attn1_fused(x):
+        qkv = (x @ wqkv1).reshape(bw1, n, 3, h1, dh1)
+        q = qkv[:, :, 0] * (dh1 ** -0.5)
+        o = window_attention_fused(q, qkv[:, :, 1], qkv[:, :, 2], bias1, None)
+        return o.reshape(bw1, n, c1) @ wproj1
+
+    rep("stage1 window attn (fused pallas kernel)", timeit(attn1_fused, xw1))
+
     # ---- 3. bias gather layouts ------------------------------------------
     table = jnp.asarray(rng.standard_normal((2535, h)), jnp.bfloat16)
     idx = jnp.asarray(rng.integers(0, 2535, (n, n)), jnp.int32)
