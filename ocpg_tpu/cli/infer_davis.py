@@ -21,6 +21,7 @@ import json
 from pathlib import Path
 
 import numpy as np
+from ..data.imageio import read_rgb
 
 
 def get_args():
@@ -58,7 +59,7 @@ def load_frames(img_folder: Path, video: str, frame_names, resize, max_size):
     imgs = []
     origin_size = None
     for name in frame_names:
-        img = np.asarray(Image.open(img_folder / video / f"{name}.jpg").convert("RGB"))
+        img = read_rgb(img_folder / video / f"{name}.jpg")
         if origin_size is None:
             origin_size = img.shape[:2]
         oh, ow = _target_size(img.shape[0], img.shape[1], resize, max_size)

@@ -33,6 +33,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from .imageio import read_palette, read_rgb
 from .transforms import Clip
 
 try:
@@ -155,8 +156,8 @@ class YTVOSDataset:
         imgs, boxes, masks, valids, weak_masks, weights = [], [], [], [], [], []
         for fi in sample:
             name = frames[fi]
-            img = np.asarray(Image.open(self.img_folder / "JPEGImages" / meta["video"] / f"{name}.jpg").convert("RGB"))
-            pal = np.asarray(Image.open(self.img_folder / "Annotations" / meta["video"] / f"{name}.png").convert("P"))
+            img = read_rgb(self.img_folder / "JPEGImages" / meta["video"] / f"{name}.jpg")
+            pal = read_palette(self.img_folder / "Annotations" / meta["video"] / f"{name}.png")
             mask = (pal == obj_id).astype(np.float32)
             with h5py.File(self.img_folder / "AnnotationsWeakly" / meta["video"] / f"{name}.h5", "r") as f:
                 # NOTE: box mode reads heatPoint as in the reference (ytvos.py:175-178)
@@ -363,7 +364,7 @@ class JHMDBSentencesDataset:
         video_id, query, frame_id = self.samples[idx]
         frames_dir = next((self.root / "Rename_Images").glob(f"*/{video_id}"))
         frame_files = sorted(frames_dir.glob("*.png"))
-        video = np.stack([np.asarray(Image.open(p).convert("RGB")) for p in frame_files])
+        video = np.stack([read_rgb(p) for p in frame_files])
         mat = loadmat(str(next((self.root / "puppet_mask").glob(f"*/{video_id}/puppet_mask.mat"))))
         puppet = np.asarray(mat["part_mask"])  # (H, W, T_annot)
         t_annot = puppet.shape[-1]
@@ -422,8 +423,8 @@ class DAVISDataset:
         imgs, boxes, masks, valids = [], [], [], []
         for fi in sample:
             name = frames[fi]
-            img = np.asarray(Image.open(self.img_folder / "JPEGImages" / meta["video"] / f"{name}.jpg").convert("RGB"))
-            pal = np.asarray(Image.open(self.img_folder / "Annotations" / meta["video"] / f"{name}.png").convert("P"))
+            img = read_rgb(self.img_folder / "JPEGImages" / meta["video"] / f"{name}.jpg")
+            pal = read_palette(self.img_folder / "Annotations" / meta["video"] / f"{name}.png")
             mask = (pal == obj_id).astype(np.float32)
             if mask.any():
                 boxes.append(np.array(mask_bounding_box(mask), np.float32))

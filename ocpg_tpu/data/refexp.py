@@ -24,6 +24,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 import cv2
 
+from .imageio import read_rgb
 from .transforms import Clip
 from .datasets import ClipRecord, mask_bounding_box
 
@@ -140,7 +141,7 @@ class RefExpDataset:
 
         img_id, ann, caption = self.items[idx]
         im_info = self.images[img_id]
-        img = np.asarray(Image.open(self.img_folder / im_info["file_name"]).convert("RGB"))
+        img = read_rgb(self.img_folder / im_info["file_name"])
         h, w = img.shape[:2]
         mask = polygons_to_mask(ann.get("segmentation", []), h, w)
         x, y, bw, bh = ann["bbox"]

@@ -16,6 +16,7 @@ import numpy as np
 from scipy.optimize import linear_sum_assignment
 
 from .davis_metrics import db_eval_boundary, db_eval_iou
+from ..data.imageio import read_palette
 
 
 def db_statistics(per_frame: np.ndarray) -> Tuple[float, float, float]:
@@ -52,7 +53,7 @@ class DavisDataset:
 
         files = sorted((self.anno_root / seq).glob("*.png"))
         ids = [f.stem for f in files]
-        frames = np.stack([np.asarray(Image.open(f).convert("P")) for f in files])
+        frames = np.stack([read_palette(f) for f in files])
         obj_ids = [int(o) for o in np.unique(frames) if o not in (0, 255)]
         masks = np.stack([(frames == o).astype(np.float32) for o in obj_ids]) \
             if obj_ids else np.zeros((0,) + frames.shape, np.float32)
@@ -66,12 +67,12 @@ class ResultsReader:
     def read_masks(self, seq: str, frame_ids: Sequence[str], num_objects: int) -> np.ndarray:
         from PIL import Image
 
-        first = np.asarray(Image.open(self.root / seq / f"{frame_ids[0]}.png").convert("P"))
+        first = read_palette(self.root / seq / f"{frame_ids[0]}.png")
         frames = np.zeros((len(frame_ids),) + first.shape, first.dtype)
         for i, fid in enumerate(frame_ids):
             p = self.root / seq / f"{fid}.png"
             if p.exists():
-                frames[i] = np.asarray(Image.open(p).convert("P"))
+                frames[i] = read_palette(p)
         obj_ids = [int(o) for o in np.unique(frames) if o not in (0, 255)]
         obj_ids = obj_ids or list(range(1, num_objects + 1))
         return np.stack([(frames == o).astype(np.float32) for o in obj_ids])

@@ -1,0 +1,150 @@
+"""ctypes bindings for the native ocpg_io decode library.
+
+Compiles `ocpg_io.cpp` with the system g++ on first import (cached in
+`native/_build/` keyed by a hash of the source + compile flags) and exposes
+
+    decode_jpeg(data, denom=1)  -> (H, W, 3) uint8 RGB
+    decode_png(data)            -> (H, W) uint8 palette-index/gray, or
+                                   (H, W, 3) uint8 RGB
+    available()                 -> bool
+
+ctypes releases the GIL around every foreign call, so the thread-pool loader
+(data/loader.py) scales decode across real cores with no worker processes —
+the role torch DataLoader `num_workers` plays in the reference
+(/root/reference/main.py:197-214).
+
+If the toolchain or the codec dev libraries are missing the module degrades
+to `available() == False` and callers (data/imageio.py) fall back to PIL.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "ocpg_io.cpp")
+_FLAGS = ["-O2", "-shared", "-fPIC", "-std=c++17", "-Wall"]
+_LIBS = ["-ljpeg", "-lpng"]
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+OK, EBAD, ESIZE, EARG = 0, -1, -2, -3
+
+_u8p = ctypes.POINTER(ctypes.c_ubyte)
+_i32p = ctypes.POINTER(ctypes.c_int)
+
+
+def _build() -> Optional[str]:
+    with open(_SRC, "rb") as f:
+        src = f.read()
+    key = hashlib.sha256(src + " ".join(_FLAGS + _LIBS).encode()).hexdigest()[:16]
+    out_dir = os.path.join(_HERE, "_build")
+    so_path = os.path.join(out_dir, f"ocpg_io_{key}.so")
+    if os.path.exists(so_path):
+        return so_path
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = so_path + f".tmp{os.getpid()}"
+    cmd = ["g++", *_FLAGS, _SRC, "-o", tmp, *_LIBS]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except (OSError, subprocess.SubprocessError):
+        return None
+    os.replace(tmp, so_path)  # atomic under concurrent builders
+    return so_path
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("OCPG_NATIVE_IO", "auto") == "0":
+            return None
+        so_path = _build()
+        if so_path is None:
+            return None
+        try:
+            lib = ctypes.CDLL(so_path)
+        except OSError:
+            return None
+        lib.ocpg_jpeg_info.argtypes = [_u8p, ctypes.c_ulong, ctypes.c_int,
+                                       _i32p, _i32p]
+        lib.ocpg_decode_jpeg.argtypes = [_u8p, ctypes.c_ulong, ctypes.c_int,
+                                         _u8p, ctypes.c_ulong, _i32p, _i32p]
+        lib.ocpg_png_info.argtypes = [_u8p, ctypes.c_ulong, _i32p, _i32p, _i32p]
+        lib.ocpg_decode_png.argtypes = [_u8p, ctypes.c_ulong, _u8p,
+                                        ctypes.c_ulong, _i32p, _i32p, _i32p]
+        for fn in (lib.ocpg_jpeg_info, lib.ocpg_decode_jpeg,
+                   lib.ocpg_png_info, lib.ocpg_decode_png):
+            fn.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _as_u8p(data: bytes) -> Tuple[_u8p, int]:
+    return (ctypes.cast(ctypes.c_char_p(data), _u8p), len(data))
+
+
+def decode_jpeg(data: bytes, denom: int = 1) -> np.ndarray:
+    """Decode a JPEG byte string to (H, W, 3) uint8 RGB.
+
+    `denom` in {1, 2, 4, 8} requests libjpeg's DCT-domain prescale: the image
+    is decoded at ~1/denom of full size for ~denom^2 less IDCT work.  denom=1
+    (the default everywhere in the data path) matches a full PIL decode.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native ocpg_io unavailable")
+    buf, n = _as_u8p(data)
+    h, w = ctypes.c_int(), ctypes.c_int()
+    rc = lib.ocpg_jpeg_info(buf, n, denom, ctypes.byref(h), ctypes.byref(w))
+    if rc != OK:
+        raise ValueError(f"bad JPEG stream (rc={rc})")
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    rc = lib.ocpg_decode_jpeg(buf, n, denom,
+                              out.ctypes.data_as(_u8p), out.nbytes,
+                              ctypes.byref(h), ctypes.byref(w))
+    if rc != OK:
+        raise ValueError(f"JPEG decode failed (rc={rc})")
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode a PNG byte string.
+
+    Palette images return their palette INDICES as (H, W) uint8 — for
+    DAVIS/YTVOS annotation masks the index IS the object id, so this skips
+    PIL's P-image round-trip entirely.  Gray images return (H, W) uint8;
+    truecolor returns (H, W, 3) uint8 (alpha stripped).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native ocpg_io unavailable")
+    buf, n = _as_u8p(data)
+    h, w, c = ctypes.c_int(), ctypes.c_int(), ctypes.c_int()
+    rc = lib.ocpg_png_info(buf, n, ctypes.byref(h), ctypes.byref(w),
+                           ctypes.byref(c))
+    if rc != OK:
+        raise ValueError(f"bad PNG stream (rc={rc})")
+    out = np.empty((h.value, w.value, c.value), np.uint8)
+    rc = lib.ocpg_decode_png(buf, n, out.ctypes.data_as(_u8p), out.nbytes,
+                             ctypes.byref(h), ctypes.byref(w), ctypes.byref(c))
+    if rc != OK:
+        raise ValueError(f"PNG decode failed (rc={rc})")
+    return out[:, :, 0] if c.value == 1 else out

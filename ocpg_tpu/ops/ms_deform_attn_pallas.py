@@ -591,9 +591,9 @@ def ms_deform_attn_pallas_cm(
     aw_cm: Array,                 # (N, M, L, P, Lq)
     tile_q: int = 512,
     interpret: bool = False,
-    # ryx expansion: True = ry @ REP matmul (production until the
-    # pltpu.repeat lane-tiling variant is measured on the real chip —
-    # scripts/bench_msda_kernel.py --variants cm cm_rep)
+    # ryx expansion: True = ry @ REP matmul (production; the pltpu.repeat
+    # lane tiling measured 2x slower on-chip — PROFILE.md round-7, Mosaic
+    # lowers the D-fold tiling as serial VPU copies on the critical path)
     ryx_mm: bool = True,
     # hat rows built directly as relu(1-|x-g|) (4 VPU ops) instead of via
     # floor/frac corner form (~11); bit-identical output on-chip, fwd

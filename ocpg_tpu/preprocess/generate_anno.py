@@ -22,6 +22,7 @@ import numpy as np
 import cv2
 
 from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD
+from ..data.imageio import read_palette, read_rgb
 
 
 def object_center(mask: np.ndarray) -> tuple:
@@ -118,11 +119,11 @@ def run_ytvos(root: str, model, params, use_crf: bool, split: str = "train"):
             continue
         (out_dir / vdir.name).mkdir(parents=True, exist_ok=True)
         for png in sorted(vdir.glob("*.png")):
-            pal = np.asarray(Image.open(png).convert("P"))
+            pal = read_palette(png)
             obj_ids = [int(o) for o in np.unique(pal) if o != 0]
             if not obj_ids:
                 continue
-            img = np.asarray(Image.open(img_dir / vdir.name / f"{png.stem}.jpg").convert("RGB"))
+            img = read_rgb(img_dir / vdir.name / f"{png.stem}.jpg")
             masks = np.stack([(pal == o).astype(np.float32) for o in obj_ids])
             hb, hp, cp = generate_for_frame(model, params, img, masks, use_crf)
             with h5py.File(out_dir / vdir.name / f"{png.stem}.h5", "w") as f:
