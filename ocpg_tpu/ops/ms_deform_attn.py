@@ -298,10 +298,10 @@ def ms_deform_attn_fast_cm(value, spatial_shapes, x_cm, y_cm, aw_cm,
     if impl.startswith("pallas"):
         from .ms_deform_attn_pallas import ms_deform_attn_pallas_cm
 
-        base, hd = _parse_pallas_impl(impl)
+        base, hd, ps = _parse_pallas_impl(impl)
         return ms_deform_attn_pallas_cm(value, spatial_shapes, x_cm, y_cm, aw_cm,
                                         ryx_mm=(base == "pallas"),
-                                        hat_direct=hd)
+                                        hat_direct=hd, pstack=ps)
     locs, attn = _cm_to_standard(x_cm, y_cm, aw_cm)
     if impl == "separable":
         return ms_deform_attn_separable(value, spatial_shapes, locs, attn)
@@ -314,13 +314,20 @@ def _msda_cm_fwd(value, spatial_shapes, x_cm, y_cm, aw_cm, impl):
 
 
 def _parse_pallas_impl(impl: str):
-    """'pallas[_rep][_hc]' -> (base impl, hat_direct).  The direct
-    relu(1-|x-g|) hat build is the production default (bit-identical,
-    measurably faster — PROFILE.md round-6); the '_hc' suffix selects the
-    legacy floor/frac corner form (A/B knob for
-    scripts/bench_msda_kernel.py; see ms_deform_attn_pallas.py)."""
+    """'pallas[_rep][_hc][_ps]' -> (base impl, hat_direct, pstack).
+
+    Production defaults: direct relu(1-|x-g|) hat rows (PROFILE.md round-6),
+    sequential per-point dots.  '_ps' selects the P-stacked dot form
+    (bit-identical; measured NEUTRAL on-chip — PROFILE.md round-8), '_hc'
+    the legacy floor/frac corner hats.  All suffixes are A/B knobs for
+    scripts/bench_msda_kernel.py."""
+    pstack = False
+    if impl.endswith("_ps"):
+        impl, pstack = impl[:-3], True
+    elif impl.endswith("_sq"):
+        impl, pstack = impl[:-3], False
     hc = impl.endswith("_hc")
-    return (impl[:-3] if hc else impl), not hc
+    return (impl[:-3] if hc else impl), not hc, pstack
 
 
 def _msda_cm_bwd(spatial_shapes, impl, residuals, g):
@@ -328,10 +335,10 @@ def _msda_cm_bwd(spatial_shapes, impl, residuals, g):
     if impl.startswith("pallas"):
         from .ms_deform_attn_pallas import ms_deform_attn_pallas_bwd_cm
 
-        base, hd = _parse_pallas_impl(impl)
+        base, hd, ps = _parse_pallas_impl(impl)
         return ms_deform_attn_pallas_bwd_cm(
             value, spatial_shapes, x_cm, y_cm, aw_cm, g,
-            ryx_mm=(base == "pallas"), hat_direct=hd)
+            ryx_mm=(base == "pallas"), hat_direct=hd, pstack=ps)
 
     def f(v, x, y, a):
         locs, attn = _cm_to_standard(x, y, a)

@@ -500,7 +500,7 @@ def ms_deform_attn_pallas_bwd(
 
 
 def _msda_cm_kernel(levels, d, p, tile, tiles_per_chunk, ryx_mm, hat_direct,
-                    x_ref, y_ref, aw_ref, *rest):
+                    pstack, x_ref, y_ref, aw_ref, *rest):
     nl = len(levels)
     value_refs = rest[:nl]
     rep_refs = rest[nl:2 * nl] if ryx_mm else None
@@ -517,6 +517,40 @@ def _msda_cm_kernel(levels, d, p, tile, tiles_per_chunk, ryx_mm, hat_direct,
         q0 = pl.multiple_of(j * tile, tile)
         prods = []
         for l, (h, w) in enumerate(levels):
+            if pstack:
+                # P points stacked on the sublane axis: one (P*tile, W) and
+                # one (P*tile, H) dot per level instead of 2P small dots —
+                # identical MXU row-steps, P-fold fewer issued matmuls
+                # (A/B knob; see PROFILE.md for the measurement).  Hats are
+                # built per point as (tile, K) and sublane-concatenated
+                # (Mosaic cannot lower a (P, tile) -> (P*tile,) reshape).
+                iw = jax.lax.broadcasted_iota(jnp.int32, (tile, w), 1).astype(jnp.float32)
+                ih = jax.lax.broadcasted_iota(jnp.int32, (tile, h), 1).astype(jnp.float32)
+                cxs, rys = [], []
+                for pi in range(p):
+                    x = x_ref[0, l, pi, pl.ds(q0, tile)] * w - 0.5
+                    y = y_ref[0, l, pi, pl.ds(q0, tile)] * h - 0.5
+                    aw = aw_ref[0, l, pi, pl.ds(q0, tile)]
+                    cxs.append(hat(x, iw))
+                    rys.append(hat(y, ih) * aw[:, None])
+                cx = jnp.concatenate(cxs, axis=0)                    # (P*tile, W)
+                ry = jnp.concatenate(rys, axis=0).astype(jnp.bfloat16)
+                a = jnp.dot(cx.astype(jnp.bfloat16), value_refs[l][0],
+                            preferred_element_type=jnp.float32
+                            ).astype(jnp.bfloat16)                   # (P*tile, D*H)
+                if ryx_mm:
+                    ryx = jnp.dot(ry, rep_refs[l][...],
+                                  preferred_element_type=jnp.float32
+                                  ).astype(jnp.bfloat16)             # (P*tile, D*H)
+                else:
+                    ryx = pltpu.repeat(ry, d, axis=1)
+                prod = (a * ryx).astype(jnp.float32)
+                acc = None                                           # P-sum
+                for pi in range(p):
+                    part = prod[pi * tile:(pi + 1) * tile, :]
+                    acc = part if acc is None else acc + part
+                prods.append(acc.astype(jnp.bfloat16))
+                continue
             iw = jax.lax.broadcasted_iota(jnp.int32, (tile, w), 1).astype(jnp.float32)
             ih = jax.lax.broadcasted_iota(jnp.int32, (tile, h), 1).astype(jnp.float32)
             acc = None
@@ -582,7 +616,7 @@ def _cm_tiling(lq: int, tile_q: int):
     return tile_q, pad, qtot, tile_q * tiles_per_chunk, tiles_per_chunk
 
 
-@functools.partial(jax.jit, static_argnums=(1, 5, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(1, 5, 6, 7, 8, 9))
 def ms_deform_attn_pallas_cm(
     value: Array,                 # (N, S, M, D)
     spatial_shapes: Shapes,
@@ -600,6 +634,11 @@ def ms_deform_attn_pallas_cm(
     # 9.72 -> 7.50 ms/call at eval shapes (PROFILE.md round-6) — A/B via
     # scripts/bench_msda_kernel.py --variants cm cm_hc
     hat_direct: bool = True,
+    # stack the P points on the sublane axis so each level issues one
+    # (P*tile, W) + one (P*tile, H) dot instead of 2P small dots — same MXU
+    # row-steps, P-fold fewer issued matmuls (A/B via bench variants
+    # cm_ps; see PROFILE.md for the on-chip measurement)
+    pstack: bool = False,
 ) -> Array:                       # (N, Lq, M * D)
     n, s, m, d = value.shape
     _, _, l, p, lq = x_cm.shape
@@ -633,7 +672,7 @@ def ms_deform_attn_pallas_cm(
     rep_args = reps if ryx_mm else []
     out = pl.pallas_call(
         functools.partial(_msda_cm_kernel, spatial_shapes, d, p, tile_q,
-                          tiles_per_chunk, ryx_mm, hat_direct),
+                          tiles_per_chunk, ryx_mm, hat_direct, pstack),
         out_shape=jax.ShapeDtypeStruct((nm, qtot, d), jnp.float32),
         grid=(nm, n_chunks),
         in_specs=[qspec] * 3 + vspecs + rep_in_specs + [sspec],
@@ -761,7 +800,7 @@ def ms_deform_attn_pallas_cm_r4(
 
 
 def _msda_cm_bwd_kernel(levels, d, p, tile, tiles_per_chunk, ryx_mm,
-                        hat_direct, x_ref, y_ref, aw_ref, g_ref, *rest):
+                        hat_direct, pstack, x_ref, y_ref, aw_ref, g_ref, *rest):
     nl = len(levels)
     value_refs = rest[:nl]
     rep_refs = rest[nl:2 * nl]
@@ -787,6 +826,66 @@ def _msda_cm_bwd_kernel(levels, d, p, tile, tiles_per_chunk, ryx_mm,
                           preferred_element_type=jnp.float32
                           ).astype(jnp.bfloat16)                     # once per level
             first_tile = jnp.logical_and(j_chunk == 0, j == 0)
+            if pstack:
+                # P points stacked on the sublane axis (see the forward
+                # kernel): ryx/a/dcx/dry become one dot each per level, and
+                # the dV accumulation becomes a single K = P*tile contraction
+                # instead of P K=tile dots + P VMEM accumulate round-trips.
+                cxs, rys, hys, dxrows, dyrows, aws = [], [], [], [], [], []
+                for pi in range(p):
+                    x = x_ref[0, l, pi, pl.ds(q0, tile)] * w - 0.5
+                    y = y_ref[0, l, pi, pl.ds(q0, tile)] * h - 0.5
+                    aw = aw_ref[0, l, pi, pl.ds(q0, tile)]
+                    cx, dxrow = hat_and_deriv(x, iw)
+                    hy, dyrow = hat_and_deriv(y, ih)
+                    cxs.append(cx)
+                    rys.append(hy * aw[:, None])
+                    hys.append(hy)
+                    dxrows.append(dxrow)
+                    dyrows.append(dyrow)
+                    aws.append(aw)
+                cx_s = jnp.concatenate(cxs, axis=0).astype(jnp.bfloat16)
+                ry_s = jnp.concatenate(rys, axis=0).astype(jnp.bfloat16)
+                gxH_s = jnp.concatenate([gxH] * p, axis=0)           # (P*tile, D*H)
+                if ryx_mm:
+                    ryx = jnp.dot(ry_s, rep_refs[l][...],
+                                  preferred_element_type=jnp.float32
+                                  ).astype(jnp.bfloat16)
+                else:
+                    ryx = pltpu.repeat(ry_s, d, axis=1)
+                a = jnp.dot(cx_s, value_refs[l][0],
+                            preferred_element_type=jnp.float32
+                            ).astype(jnp.bfloat16)
+                da = gxH_s * ryx                                     # (P*tile, D*H)
+
+                dv_part = jax.lax.dot_general(
+                    cx_s, da, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)              # (W, D*H)
+
+                @pl.when(first_tile)
+                def _():
+                    dv_refs[l][0] = dv_part
+
+                @pl.when(jnp.logical_not(first_tile))
+                def _():
+                    dv_refs[l][0] = dv_refs[l][0] + dv_part
+
+                dcx = jax.lax.dot_general(
+                    da, value_refs[l][0], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)              # (P*tile, W)
+                dry = jax.lax.dot_general(
+                    gxH_s * a, rep_refs[l][...], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)              # (P*tile, H)
+                for pi in range(p):
+                    r0, r1 = pi * tile, (pi + 1) * tile
+                    dx_ref[0, l, pi, pl.ds(q0, tile)] = (
+                        (dcx[r0:r1] * dxrows[pi]).sum(axis=1) * w)
+                    dry_p = dry[r0:r1]
+                    daw_ref[0, l, pi, pl.ds(q0, tile)] = (
+                        dry_p * hys[pi]).sum(axis=1)
+                    dy_ref[0, l, pi, pl.ds(q0, tile)] = (
+                        aws[pi] * (dry_p * dyrows[pi]).sum(axis=1) * h)
+                continue
             for pi in range(p):
                 x = x_ref[0, l, pi, pl.ds(q0, tile)] * w - 0.5
                 y = y_ref[0, l, pi, pl.ds(q0, tile)] * h - 0.5
@@ -840,7 +939,7 @@ def _msda_cm_bwd_kernel(levels, d, p, tile, tiles_per_chunk, ryx_mm,
     jax.lax.fori_loop(0, tiles_per_chunk, tile_body, 0)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(1, 6, 7, 8, 9, 10))
 def ms_deform_attn_pallas_bwd_cm(
     value: Array,                 # (N, S, M, D)
     spatial_shapes: Shapes,
@@ -853,6 +952,7 @@ def ms_deform_attn_pallas_bwd_cm(
     ryx_mm: bool = True,          # see ms_deform_attn_pallas_cm
     # bit-identical, bwd 27.06 -> 22.34 ms/call (PROFILE.md round-6)
     hat_direct: bool = True,      # see ms_deform_attn_pallas_cm
+    pstack: bool = False,         # see ms_deform_attn_pallas_cm
 ):
     """Returns (d_value, d_x_cm, d_y_cm, d_aw_cm) — dq grads in CM layout."""
     n, s, m, d = value.shape
@@ -903,7 +1003,7 @@ def ms_deform_attn_pallas_bwd_cm(
     )
     outs = pl.pallas_call(
         functools.partial(_msda_cm_bwd_kernel, spatial_shapes, d, p, tile_q,
-                          tiles_per_chunk, ryx_mm, hat_direct),
+                          tiles_per_chunk, ryx_mm, hat_direct, pstack),
         out_shape=tuple(out_shapes),
         grid=(nm, n_chunks),
         in_specs=[qspec] * 3 + [gspec] + vspecs + rspecs + rdspecs,

@@ -136,6 +136,37 @@ def test_pallas_cm_hat_forms_bit_identical_interpret(rng):
                                    atol=0)
 
 
+def test_pallas_cm_pstack_parity_interpret(rng):
+    """The P-stacked dot form (points concatenated on the sublane axis, one
+    dot per level/stage instead of 2P; '_ps' impl suffix) computes the same
+    per-point products in the same order, so the forward is bit-identical to
+    the sequential form.  The backward's dV folds the P-accumulation into a
+    single K = P*tile contraction whose internal f32 summation order differs
+    from dot-then-add, so grads agree to f32 rounding rather than bit-exactly.
+    On-chip it measured NEUTRAL (PROFILE.md round-8) — kept as an A/B knob,
+    not production."""
+    from ocpg_tpu.ops.ms_deform_attn_pallas import (
+        ms_deform_attn_pallas_bwd_cm, ms_deform_attn_pallas_cm)
+
+    value, locs, attn = _inputs(rng)
+    x_cm, y_cm, aw_cm = _to_cm(locs, attn)
+    a = ms_deform_attn_pallas_cm(value, SHAPES, x_cm, y_cm, aw_cm, 128, True)
+    b = ms_deform_attn_pallas_cm(value, SHAPES, x_cm, y_cm, aw_cm, 128, True,
+                                 pstack=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    g = jnp.asarray(np.random.default_rng(7).random(
+        (value.shape[0], locs.shape[1], value.shape[2] * value.shape[3])),
+        jnp.float32)
+    ga = ms_deform_attn_pallas_bwd_cm(value, SHAPES, x_cm, y_cm, aw_cm, g,
+                                      128, True)
+    gb = ms_deform_attn_pallas_bwd_cm(value, SHAPES, x_cm, y_cm, aw_cm, g,
+                                      128, True, pstack=True)
+    for x, y in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-5,
+                                   atol=1e-7)
+
+
 def test_pallas_cm_backward_exact_integer_coords(rng):
     """Sampling coordinates that land EXACTLY on integer pixels (a kink of
     the bilinear hat).  At f32 bench scale dozens of coordinates do this, and
