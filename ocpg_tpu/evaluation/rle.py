@@ -12,9 +12,24 @@ from typing import Dict, List
 import numpy as np
 
 
+def _native_io():
+    """The C++ codec (native/ocpg_io.cpp), byte-identical to this module's
+    pure-numpy implementation (the oracle — tests/test_native_io.py); None
+    when the native library is unavailable (OCPG_NATIVE_IO=0 or no g++)."""
+    try:
+        from ..native import io as nio
+        return nio if nio.available() else None
+    except Exception:
+        return None
+
+
 def rle_encode(mask: np.ndarray) -> Dict:
     """Binary (H, W) mask -> {'size': [H, W], 'counts': str} COCO RLE."""
     h, w = mask.shape
+    nio = _native_io()
+    if nio is not None:
+        return {"size": [int(h), int(w)],
+                "counts": nio.rle_encode_str(np.asarray(mask, np.uint8))}
     flat = np.asfortranarray(mask > 0).reshape(-1, order="F").astype(np.uint8)
     # runs of equal value starting with 0s
     diffs = np.flatnonzero(flat[1:] != flat[:-1]) + 1
@@ -29,6 +44,9 @@ def rle_decode(rle: Dict) -> np.ndarray:
     h, w = rle["size"]
     counts = rle["counts"]
     if isinstance(counts, (str, bytes)):
+        nio = _native_io()
+        if nio is not None:
+            return nio.rle_decode_str(counts, int(h), int(w))
         counts = _decompress(counts)
     flat = np.zeros(h * w, np.uint8)
     pos, val = 0, 0

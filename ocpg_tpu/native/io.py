@@ -86,8 +86,14 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.ocpg_png_info.argtypes = [_u8p, ctypes.c_ulong, _i32p, _i32p, _i32p]
         lib.ocpg_decode_png.argtypes = [_u8p, ctypes.c_ulong, _u8p,
                                         ctypes.c_ulong, _i32p, _i32p, _i32p]
+        lib.ocpg_rle_encode.argtypes = [_u8p, ctypes.c_long,
+                                        ctypes.c_char_p, ctypes.c_long,
+                                        ctypes.POINTER(ctypes.c_long)]
+        lib.ocpg_rle_decode.argtypes = [ctypes.c_char_p, ctypes.c_long,
+                                        ctypes.c_long, _u8p]
         for fn in (lib.ocpg_jpeg_info, lib.ocpg_decode_jpeg,
-                   lib.ocpg_png_info, lib.ocpg_decode_png):
+                   lib.ocpg_png_info, lib.ocpg_decode_png,
+                   lib.ocpg_rle_encode, lib.ocpg_rle_decode):
             fn.restype = ctypes.c_int
         _lib = lib
         return _lib
@@ -148,3 +154,41 @@ def decode_png(data: bytes) -> np.ndarray:
     if rc != OK:
         raise ValueError(f"PNG decode failed (rc={rc})")
     return out[:, :, 0] if c.value == 1 else out
+
+
+def rle_encode_str(mask: np.ndarray) -> str:
+    """C-order (H, W) uint8 mask -> COCO compressed-RLE counts string.
+
+    Byte-identical to evaluation/rle.py's pure-Python codec (the oracle);
+    the native role pycocotools' mask.c plays in the reference."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native ocpg_io unavailable")
+    # hand the C side the pixels already in column-major order: numpy's
+    # blocked transpose copy beats a strided column walk in C
+    flat = np.asfortranarray(np.asarray(mask, np.uint8)).reshape(-1, order="F")
+    cap = 7 * flat.size + 16
+    # np.empty, not ctypes.create_string_buffer: the latter zero-fills the
+    # whole worst-case buffer on every call (~1 ms at DAVIS resolution)
+    out = np.empty(cap, np.uint8)
+    out_len = ctypes.c_long()
+    rc = lib.ocpg_rle_encode(flat.ctypes.data_as(_u8p), flat.size,
+                             out.ctypes.data_as(ctypes.c_char_p), cap,
+                             ctypes.byref(out_len))
+    if rc != OK:
+        raise ValueError(f"RLE encode failed (rc={rc})")
+    return out[:out_len.value].tobytes().decode("ascii")
+
+
+def rle_decode_str(counts: str, h: int, w: int) -> np.ndarray:
+    """COCO compressed-RLE counts string -> C-order (H, W) uint8 mask."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native ocpg_io unavailable")
+    s = counts.encode("ascii") if isinstance(counts, str) else bytes(counts)
+    flat = np.empty(h * w, np.uint8)
+    rc = lib.ocpg_rle_decode(s, len(s), h * w, flat.ctypes.data_as(_u8p))
+    if rc != OK:
+        raise ValueError(f"RLE decode failed (rc={rc})")
+    # same F-order view the numpy fallback returns (rle.py)
+    return flat.reshape((h, w), order="F")

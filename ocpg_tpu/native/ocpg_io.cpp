@@ -263,4 +263,105 @@ int ocpg_decode_png(const unsigned char* buf, unsigned long len,
     return OCPG_OK;
 }
 
+// ---------------------------------------------------------------------------
+// COCO run-length codec — the native role pycocotools' C mask.c plays in the
+// reference eval/postprocess path (/root/reference/models/postprocessors.py:47,
+// datasets/a2d_eval.py).  Column-major (Fortran) runs starting with zeros,
+// compressed with COCO's modified LEB128 (5 payload bits + continuation bit,
+// ASCII offset 48, runs delta-coded against counts[i-2] from the 3rd element)
+// — byte-identical to evaluation/rle.py's pure-Python codec, which remains
+// the fallback and the test oracle.
+// ---------------------------------------------------------------------------
+
+// Encode an F-order-flattened uint8 mask (i.e. the caller passes the pixels
+// already in column-major order — numpy's transpose copy is faster than a
+// strided column walk here, cache-line-hostile at DAVIS widths).  Writes the
+// compressed string into `out` (cap bytes) and its length into *out_len.
+// Returns OCPG_ESIZE if cap is too small (callers size with 7*n + 16:
+// <= n+1 runs, <= 7 LEB128 chars per delta-coded run).
+int ocpg_rle_encode(const unsigned char* flat, long n,
+                    char* out, long cap, long* out_len) {
+    if (!flat || !out || !out_len || n <= 0) return OCPG_EARG;
+    long long prev2 = 0, prev1 = 0;  // counts[i-2], counts[i-1]
+    long p = 0, i = 0;               // output cursor, run index
+    unsigned char val = 0;           // runs alternate starting from 0
+    long pix = 0;
+    while (pix <= n) {
+        // find the end of the current run of `val` pixels, a word at a time
+        // (real masks are long-run; the byte loop alone loses to numpy's
+        // vectorized diff on smooth masks)
+        long start = pix;
+        if (val) {
+            while (pix + 8 <= n) {
+                unsigned long long wv;
+                std::memcpy(&wv, flat + pix, 8);
+                // stop at the first word containing a zero byte
+                if (((wv - 0x0101010101010101ULL) & ~wv &
+                     0x8080808080808080ULL) != 0) break;
+                pix += 8;
+            }
+            while (pix < n && flat[pix] != 0) ++pix;
+        } else {
+            while (pix + 8 <= n) {
+                unsigned long long wv;
+                std::memcpy(&wv, flat + pix, 8);
+                if (wv != 0) break;
+                pix += 8;
+            }
+            while (pix < n && flat[pix] == 0) ++pix;
+        }
+        long run = pix - start;
+        long long xx = (i > 2) ? (long long)run - prev2 : (long long)run;
+        prev2 = prev1; prev1 = run;
+        ++i;
+        bool more = true;
+        while (more) {
+            char c = (char)(xx & 0x1f);
+            xx >>= 5;  // arithmetic shift: sign-extends negatives
+            more = (c & 0x10) ? (xx != -1) : (xx != 0);
+            if (more) c |= 0x20;
+            if (p >= cap) return OCPG_ESIZE;
+            out[p++] = (char)(c + 48);
+        }
+        val ^= 1;
+        if (pix == n) break;
+    }
+    *out_len = p;
+    return OCPG_OK;
+}
+
+// Decode a compressed RLE string into an F-order-flattened uint8 buffer of
+// n = h*w pixels (caller reshapes (w, h) and transposes — a free numpy
+// view).  Returns OCPG_EBAD on a malformed stream or if the run lengths do
+// not sum to n.
+int ocpg_rle_decode(const char* s, long slen, long n, unsigned char* flat) {
+    if (!s || !flat || n <= 0) return OCPG_EARG;
+    long long prev2 = 0, prev1 = 0;
+    long i = 0, idx = 0;             // run index, flat pixel cursor
+    unsigned char val = 0;
+    long si = 0;
+    while (si < slen) {
+        long long x = 0;
+        int k = 0;
+        bool more = true;
+        char c = 0;
+        while (more) {
+            if (si >= slen) return OCPG_EBAD;
+            c = (char)(s[si++] - 48);
+            x |= (long long)(c & 0x1f) << (5 * k);
+            more = (c & 0x20) != 0;
+            ++k;
+        }
+        if (c & 0x10) x |= -1LL << (5 * k);  // sign-extend
+        if (i > 2) x += prev2;
+        prev2 = prev1; prev1 = x;
+        ++i;
+        if (x < 0 || idx + x > n) return OCPG_EBAD;
+        std::memset(flat + idx, val, (size_t)x);
+        idx += (long)x;
+        val ^= 1;
+    }
+    return idx == n ? OCPG_OK : OCPG_EBAD;
+}
+
 }  // extern "C"

@@ -163,3 +163,54 @@ def test_front_door_env_disable(tmp_path, rng, monkeypatch):
     ref = imageio.read_rgb(jpg)
     monkeypatch.setenv("OCPG_NATIVE_IO", "0")
     assert np.array_equal(imageio.read_rgb(jpg), ref)
+
+
+# ---- native COCO RLE codec (the role pycocotools' C mask.c plays in the
+# reference; /root/reference/models/postprocessors.py:47) ----------------
+
+def _py_rle_encode(mask):
+    """The pure-numpy oracle (evaluation/rle.py's fallback path, inlined so
+    the test pins the oracle even while rle.py routes through the native
+    codec)."""
+    from ocpg_tpu.evaluation.rle import _compress
+    h, w = mask.shape
+    flat = np.asfortranarray(mask > 0).reshape(-1, order="F").astype(np.uint8)
+    diffs = np.flatnonzero(flat[1:] != flat[:-1]) + 1
+    boundaries = np.concatenate([[0], diffs, [flat.size]])
+    counts = np.diff(boundaries).tolist()
+    if flat.size and flat[0] == 1:
+        counts = [0] + counts
+    return {"size": [int(h), int(w)], "counts": _compress(counts)}
+
+
+def test_rle_native_byte_identical(rng):
+    yy, xx = np.mgrid[:61, :83]
+    cases = [
+        np.zeros((7, 5), np.uint8),
+        np.ones((7, 5), np.uint8),
+        np.array([[1]], np.uint8),
+        (rng.random((61, 83)) > 0.5).astype(np.uint8),       # worst case
+        (rng.random((61, 83)) > 0.97).astype(np.uint8),
+        (((yy - 30) ** 2 + (xx - 40) ** 2) < 20 ** 2).astype(np.uint8),
+        (rng.random((33, 47)) > 0.7).astype(np.uint8) * 255,  # non-binary fg
+    ]
+    for i, m in enumerate(cases):
+        oracle = _py_rle_encode(m)
+        assert nio.rle_encode_str(m) == oracle["counts"], i
+        got = nio.rle_decode_str(oracle["counts"], *m.shape)
+        np.testing.assert_array_equal(got, (m > 0).astype(np.uint8), str(i))
+
+
+def test_rle_module_roundtrip_uses_native(rng):
+    from ocpg_tpu.evaluation.rle import rle_decode, rle_encode
+    m = (rng.random((48, 64)) > 0.8).astype(np.uint8)
+    e = rle_encode(m)
+    assert e == _py_rle_encode(m)
+    np.testing.assert_array_equal(rle_decode(e), m)
+
+
+def test_rle_native_rejects_malformed():
+    with pytest.raises(ValueError):
+        nio.rle_decode_str("[", 4, 4)            # truncated continuation
+    with pytest.raises(ValueError):
+        nio.rle_decode_str("d", 4, 4)            # counts don't sum to h*w
