@@ -148,6 +148,7 @@ def main():
             print(f"epoch {epoch} [{n}] " +
                   " ".join(f"{k}={v:.4f}" for k, v in stats.items()), flush=True)
         logger.write(record)
+    ckpt.wait()  # commit the final epoch's async save before exit
 
 
 if __name__ == "__main__":

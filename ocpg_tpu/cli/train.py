@@ -199,6 +199,11 @@ def main():
             cv2.imwrite(str(debug_dir / f"{step_no:07d}_{name}.png"),
                         (np.clip(m, 0, 1) * 255).astype(np.uint8))
 
+    # host-side step counter: fetching state.step with device_get every
+    # iteration would block the host on step completion (a tunnel round-trip
+    # per step on the axon platform) and forfeit the async-dispatch overlap
+    # between device compute and the next batch's decode
+    step_no = int(jax.device_get(state.step))
     for epoch in range(start_epoch, cfg.epochs):
         meter = MetricMeter()
         timer = StepTimer()
@@ -217,8 +222,12 @@ def main():
                 import jax.profiler
 
                 jax.profiler.stop_trace()
+            # under async dispatch step_done() times dispatch, not device
+            # execution; real step time shows up as data_wait once the loader
+            # outruns the device, and epoch throughput is time_s below.
+            # scripts/bench_train.py measures true device step time.
             timer.step_done()
-            step_no = int(jax.device_get(state.step))
+            step_no += 1
             if i % args.log_every == 0:
                 vals = {k: float(v) for k, v in metrics.items()
                         if k in ("loss", "grad_norm", "loss_ce", "loss_mask",
@@ -236,6 +245,7 @@ def main():
             ckpt.save(int(jax.device_get(state.step)), jax.device_get(state))
         logger.write({"epoch": epoch, "time_s": time.time() - t0,
                       **timer.averages(), **meter.averages()})
+    ckpt.wait()  # commit the final epoch's async save before exit
     print("done")
 
 

@@ -18,31 +18,55 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
+# same-process registry: a new manager (or load_params) on a directory must
+# barrier any in-flight async save scheduled through a prior manager
+_MANAGERS: dict = {}
+
+
+def _barrier_directory(directory: str):
+    prev = _MANAGERS.get(os.path.abspath(directory))
+    if prev is not None:
+        prev.mgr.wait_until_finished()
+
+
 class CheckpointManager:
     def __init__(self, directory: str, max_to_keep: int = 3):
         self.directory = os.path.abspath(directory)
+        _barrier_directory(self.directory)
         self.mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
         )
+        _MANAGERS[self.directory] = self
 
     def save(self, step: int, state: Any, metadata: Optional[dict] = None):
+        # async: schedule the write and return; the train loop overlaps the
+        # next epoch with the serialization.  The previous save is barriered
+        # here (orbax requires one in-flight save per manager) and readers
+        # (restore/latest_step) barrier themselves.
+        self.mgr.wait_until_finished()
         self.mgr.save(step, args=ocp.args.StandardSave(state))
+
+    def wait(self):
+        """Block until any in-flight async save has committed."""
         self.mgr.wait_until_finished()
 
     def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
+        self.mgr.wait_until_finished()
         step = step if step is not None else self.mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
         return self.mgr.restore(step, args=ocp.args.StandardRestore(state_template))
 
     def latest_step(self) -> Optional[int]:
+        self.mgr.wait_until_finished()
         return self.mgr.latest_step()
 
 
 def load_params(checkpoint_dir: str, params_template: dict) -> dict:
     """Restore just the model variables (params + frozen collections) from a
     TrainState checkpoint directory, for inference."""
+    _barrier_directory(checkpoint_dir)
     mgr = ocp.CheckpointManager(os.path.abspath(checkpoint_dir))
     step = mgr.latest_step()
     if step is None:
