@@ -24,6 +24,23 @@ import numpy as np
 from ..data.imageio import read_rgb
 
 
+def merge_annotator_masks(anno: np.ndarray) -> np.ndarray:
+    """Merge one annotator's per-object score maps into a label map.
+
+    Reference semantics (inference_davis.py:255-262): scores below the 0.3
+    floor are zeroed, a constant 0.1 background plane is prepended, and each
+    pixel takes the argmax — so a pixel is background unless some object
+    scores >= 0.3, and ties between objects resolve to the lowest object id
+    (np.argmax first-occurrence).  Labels are 0 = background, i+1 = object i.
+
+    anno: (num_obj, T, H, W) sigmoid scores in [0, 1].  Returns (T, H, W) u8.
+    """
+    anno = anno.copy()
+    anno[anno < 0.3] = 0.0
+    bg = np.full((1,) + anno.shape[1:], 0.1, anno.dtype)
+    return np.argmax(np.concatenate([bg, anno], axis=0), axis=0).astype(np.uint8)
+
+
 def get_args():
     p = argparse.ArgumentParser("ocpg_tpu DAVIS inference")
     p.add_argument("--davis_path", required=True)
@@ -170,10 +187,7 @@ def main():
                 np.concatenate([per[(anno_id, o)][ci] for ci in range(len(chunks))], 0)
                 for o in range(num_obj)
             ]
-            anno = np.stack(anno_masks)                      # (num_obj, T, H, W)
-            anno[anno < 0.3] = 0.0
-            bg = np.full((1,) + anno.shape[1:], 0.1, anno.dtype)
-            merged = np.argmax(np.concatenate([bg, anno], axis=0), axis=0).astype(np.uint8)
+            merged = merge_annotator_masks(np.stack(anno_masks))
 
             out_dir = save_prefix / f"anno_{anno_id}" / video
             out_dir.mkdir(parents=True, exist_ok=True)

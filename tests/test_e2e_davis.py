@@ -143,3 +143,26 @@ def test_infer_then_eval_cli(davis_tree, tmp_path, monkeypatch):
             rows = list(csv.reader(f))[1:]
         assert len(rows) == 4                       # 2 videos x 2 objects
     print("synthetic-DAVIS J&F per annotator:", jf)
+
+
+def test_merge_annotator_masks_analytic():
+    """Pin the reference 0.1-background / 0.3-floor argmax merge
+    (inference_davis.py:255-262) on a hand-computed fixture."""
+    from ocpg_tpu.cli.infer_davis import merge_annotator_masks
+
+    # 2 objects, 1 frame, 2x3 pixels
+    obj1 = np.array([[[0.9, 0.29, 0.31],
+                      [0.05, 0.5, 0.2]]], np.float32)
+    obj2 = np.array([[[0.8, 0.0, 0.31],
+                      [0.0, 0.6, 0.3]]], np.float32)
+    anno = np.stack([obj1, obj2])
+    before = anno.copy()
+    merged = merge_annotator_masks(anno)
+    # (0,0): 0.9 vs 0.8 -> obj 1;  (0,1): all under the 0.3 floor -> bg;
+    # (0,2): exact tie 0.31 -> first object (np.argmax first-occurrence);
+    # (1,0): 0.05 floored -> bg;   (1,1): 0.6 wins -> obj 2;
+    # (1,2): exactly 0.3 is KEPT (floor is strict <) and beats bg -> obj 2
+    np.testing.assert_array_equal(
+        merged, np.array([[[1, 0, 1], [0, 2, 2]]], np.uint8))
+    assert merged.dtype == np.uint8
+    np.testing.assert_array_equal(anno, before)  # input not mutated
