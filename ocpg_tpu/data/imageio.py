@@ -41,7 +41,10 @@ def read_rgb(path: Union[str, "os.PathLike"]) -> np.ndarray:
         try:
             if data[:2] == b"\xff\xd8":          # JPEG magic
                 return _native.decode_jpeg(data)
-            if data[:8] == b"\x89PNG\r\n\x1a\n":
+            if (data[:8] == b"\x89PNG\r\n\x1a\n"
+                    and not _native.png_is_palette(data)):
+                # palette PNGs defer to PIL: the native decode yields indices,
+                # which only mean colors through the palette table
                 out = _native.decode_png(data)
                 if out.ndim == 3:
                     return out

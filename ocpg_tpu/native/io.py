@@ -84,6 +84,7 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.ocpg_decode_jpeg.argtypes = [_u8p, ctypes.c_ulong, ctypes.c_int,
                                          _u8p, ctypes.c_ulong, _i32p, _i32p]
         lib.ocpg_png_info.argtypes = [_u8p, ctypes.c_ulong, _i32p, _i32p, _i32p]
+        lib.ocpg_png_is_palette.argtypes = [_u8p, ctypes.c_ulong]
         lib.ocpg_decode_png.argtypes = [_u8p, ctypes.c_ulong, _u8p,
                                         ctypes.c_ulong, _i32p, _i32p, _i32p]
         lib.ocpg_rle_encode.argtypes = [_u8p, ctypes.c_long,
@@ -93,6 +94,7 @@ def _load() -> Optional[ctypes.CDLL]:
                                         ctypes.c_long, _u8p]
         for fn in (lib.ocpg_jpeg_info, lib.ocpg_decode_jpeg,
                    lib.ocpg_png_info, lib.ocpg_decode_png,
+                   lib.ocpg_png_is_palette,
                    lib.ocpg_rle_encode, lib.ocpg_rle_decode):
             fn.restype = ctypes.c_int
         _lib = lib
@@ -154,6 +156,20 @@ def decode_png(data: bytes) -> np.ndarray:
     if rc != OK:
         raise ValueError(f"PNG decode failed (rc={rc})")
     return out[:, :, 0] if c.value == 1 else out
+
+
+def png_is_palette(data: bytes) -> bool:
+    """True if the PNG stream is palette-coded (decode_png then yields the
+    palette INDICES, not colors — RGB readers must defer to a palette-aware
+    decoder)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native ocpg_io unavailable")
+    buf, n = _as_u8p(data)
+    rc = lib.ocpg_png_is_palette(buf, n)
+    if rc < 0:
+        raise ValueError(f"bad PNG stream (rc={rc})")
+    return bool(rc)
 
 
 def rle_encode_str(mask: np.ndarray) -> str:

@@ -211,6 +211,21 @@ int ocpg_png_info(const unsigned char* buf, unsigned long len,
     return OCPG_OK;
 }
 
+// 1 if the PNG is palette-coded, 0 if not, OCPG_EBAD on a bad stream.
+// Callers that want RGB must distinguish: a palette decode yields indices
+// that only mean colors through the palette table (ocpg_decode_png never
+// applies it), whereas a gray decode yields intensity directly.
+int ocpg_png_is_palette(const unsigned char* buf, unsigned long len) {
+    PngReadState state;
+    png_structp png;
+    png_infop info;
+    int rc = png_open(buf, len, &state, &png, &info);
+    if (rc != OCPG_OK) return rc;
+    const int pal = png_get_color_type(png, info) == PNG_COLOR_TYPE_PALETTE;
+    png_destroy_read_struct(&png, &info, nullptr);
+    return pal;
+}
+
 // Decode into `out` (capacity `cap`).  Palette images yield their palette
 // INDICES (1 channel, uint8) — the representation DAVIS/YTVOS annotation
 // readers need (object id per pixel, datasets.py).  Gray (incl. gray+alpha,

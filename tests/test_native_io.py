@@ -214,3 +214,20 @@ def test_rle_native_rejects_malformed():
         nio.rle_decode_str("[", 4, 4)            # truncated continuation
     with pytest.raises(ValueError):
         nio.rle_decode_str("d", 4, 4)            # counts don't sum to h*w
+
+
+def test_read_rgb_palette_png_maps_through_palette(tmp_path, rng):
+    """A palette PNG through read_rgb must yield palette COLORS, not indices
+    repeated as gray (regression: the native decode returns indices, which
+    read_rgb must route through a palette-aware decoder)."""
+    idx = rng.integers(0, 4, (30, 40), np.uint8)
+    pimg = Image.fromarray(idx, mode="P")
+    # a palette where color != index so the bug cannot pass by accident
+    pimg.putpalette([200, 10, 30,  0, 250, 60,  5, 5, 220,  120, 120, 0])
+    png = tmp_path / "pal.png"
+    pimg.save(png)
+    expected = np.asarray(Image.open(png).convert("RGB"))
+    assert np.array_equal(imageio.read_rgb(png), expected)
+    if nio.available():
+        with open(png, "rb") as f:
+            assert nio.png_is_palette(f.read()) is True
