@@ -13,7 +13,16 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# 8 virtual devices time-slice on this host's single core, so their threads
+# can arrive at a collective rendezvous minutes apart under heavy per-step
+# compute; XLA's watchdog then SIGABRTs the whole process (rendezvous.cc
+# "terminate timeout").  The stall is benign oversubscription, not a hang —
+# widen both timeouts far past the worst observed skew.
+if "collective_call_terminate" not in flags:
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=3600")
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
