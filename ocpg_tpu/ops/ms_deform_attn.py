@@ -298,7 +298,7 @@ def ms_deform_attn_fast_cm(value, spatial_shapes, x_cm, y_cm, aw_cm,
     if impl.startswith("pallas"):
         from .ms_deform_attn_pallas import ms_deform_attn_pallas_cm
 
-        base, hd, ps = _parse_pallas_impl(impl)
+        base, hd, ps, _xk = _parse_pallas_impl(impl)  # xk is backward-only
         return ms_deform_attn_pallas_cm(value, spatial_shapes, x_cm, y_cm, aw_cm,
                                         ryx_mm=(base == "pallas"),
                                         hat_direct=hd, pstack=ps)
@@ -314,20 +314,23 @@ def _msda_cm_fwd(value, spatial_shapes, x_cm, y_cm, aw_cm, impl):
 
 
 def _parse_pallas_impl(impl: str):
-    """'pallas[_rep][_hc][_ps]' -> (base impl, hat_direct, pstack).
+    """'pallas[_rep][_hc][_ps|_xk]' -> (base impl, hat_direct, pstack, xk).
 
     Production defaults: direct relu(1-|x-g|) hat rows (PROFILE.md round-6),
     sequential per-point dots.  '_ps' selects the P-stacked dot form
     (bit-identical; measured NEUTRAL on-chip — PROFILE.md round-8), '_hc'
-    the legacy floor/frac corner hats.  All suffixes are A/B knobs for
-    scripts/bench_msda_kernel.py."""
-    pstack = False
+    the legacy floor/frac corner hats, '_xk' the expansion-side derivative
+    contractions in the backward (forward unchanged).  All suffixes are A/B
+    knobs for scripts/bench_msda_kernel.py."""
+    pstack = xk = False
     if impl.endswith("_ps"):
         impl, pstack = impl[:-3], True
     elif impl.endswith("_sq"):
         impl, pstack = impl[:-3], False
+    elif impl.endswith("_xk"):
+        impl, xk = impl[:-3], True
     hc = impl.endswith("_hc")
-    return (impl[:-3] if hc else impl), not hc, pstack
+    return (impl[:-3] if hc else impl), not hc, pstack, xk
 
 
 def _msda_cm_bwd(spatial_shapes, impl, residuals, g):
@@ -335,10 +338,10 @@ def _msda_cm_bwd(spatial_shapes, impl, residuals, g):
     if impl.startswith("pallas"):
         from .ms_deform_attn_pallas import ms_deform_attn_pallas_bwd_cm
 
-        base, hd, ps = _parse_pallas_impl(impl)
+        base, hd, ps, xk = _parse_pallas_impl(impl)
         return ms_deform_attn_pallas_bwd_cm(
             value, spatial_shapes, x_cm, y_cm, aw_cm, g,
-            ryx_mm=(base == "pallas"), hat_direct=hd, pstack=ps)
+            ryx_mm=(base == "pallas"), hat_direct=hd, pstack=ps, xk=xk)
 
     def f(v, x, y, a):
         locs, attn = _cm_to_standard(x, y, a)

@@ -800,7 +800,8 @@ def ms_deform_attn_pallas_cm_r4(
 
 
 def _msda_cm_bwd_kernel(levels, d, p, tile, tiles_per_chunk, ryx_mm,
-                        hat_direct, pstack, x_ref, y_ref, aw_ref, g_ref, *rest):
+                        hat_direct, pstack, xk, x_ref, y_ref, aw_ref, g_ref,
+                        *rest):
     nl = len(levels)
     value_refs = rest[:nl]
     rep_refs = rest[nl:2 * nl]
@@ -895,6 +896,56 @@ def _msda_cm_bwd_kernel(levels, d, p, tile, tiles_per_chunk, ryx_mm,
                 ry = (hy * aw[:, None]).astype(jnp.bfloat16)
                 cx_b = cx.astype(jnp.bfloat16)
 
+                if xk:
+                    # Expansion-side derivative contractions: the production
+                    # dcx/dry dots contract K = D*H_l into N = W_l/H_l output
+                    # lanes (<= 80 of 128 — heavily lane-underutilized, and K
+                    # = D*H_l streams 12 K-passes for level 0).  Flipped
+                    # algebraically:
+                    #   dx_q  = sum_k da[q,k]  * (dxrow @ V')[q,k]
+                    #   dy_q  = aw * sum_k ga[q,k] * (dyrow @ REP)[q,k]
+                    #   daw_q = sum_k ga[q,k] * (hy @ REP)[q,k]
+                    # where ga = gxH * a.  The new dots (vx, dyx, hyx) have
+                    # K = W_l/H_l (one MXU pass) and N = D*H_l (full lanes),
+                    # reusing the resident V'/REP operands; hyx is shared
+                    # with the ryx expansion (ryx = aw * hyx).  Row-sums move
+                    # to the VPU over D*H_l lanes.  A/B knob — see PROFILE.md
+                    # for the on-chip measurement.
+                    hyx = jnp.dot(hy.astype(jnp.bfloat16), rep_refs[l][...],
+                                  preferred_element_type=jnp.float32)  # (tile, D*H)
+                    ryx = (hyx * aw[:, None]).astype(jnp.bfloat16)
+                    a = jnp.dot(cx_b, value_refs[l][0],
+                                preferred_element_type=jnp.float32
+                                ).astype(jnp.bfloat16)
+                    da = gxH * ryx
+
+                    dv_part = jax.lax.dot_general(
+                        cx_b, da, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)          # (W, D*H)
+
+                    first = jnp.logical_and(first_tile, pi == 0)
+
+                    @pl.when(first)
+                    def _():
+                        dv_refs[l][0] = dv_part
+
+                    @pl.when(jnp.logical_not(first))
+                    def _():
+                        dv_refs[l][0] = dv_refs[l][0] + dv_part
+
+                    vx = jnp.dot(dxrow.astype(jnp.bfloat16), value_refs[l][0],
+                                 preferred_element_type=jnp.float32)  # (tile, D*H)
+                    dx_ref[0, l, pi, pl.ds(q0, tile)] = (
+                        (da.astype(jnp.float32) * vx).sum(axis=1) * w)
+
+                    dyx = jnp.dot(dyrow.astype(jnp.bfloat16), rep_refs[l][...],
+                                  preferred_element_type=jnp.float32)  # (tile, D*H)
+                    ga = (gxH * a).astype(jnp.float32)
+                    daw_ref[0, l, pi, pl.ds(q0, tile)] = (ga * hyx).sum(axis=1)
+                    dy_ref[0, l, pi, pl.ds(q0, tile)] = (
+                        aw * (ga * dyx).sum(axis=1) * h)
+                    continue
+
                 if ryx_mm:
                     ryx = jnp.dot(ry, rep_refs[l][...],
                                   preferred_element_type=jnp.float32
@@ -939,7 +990,7 @@ def _msda_cm_bwd_kernel(levels, d, p, tile, tiles_per_chunk, ryx_mm,
     jax.lax.fori_loop(0, tiles_per_chunk, tile_body, 0)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 6, 7, 8, 9, 10))
+@functools.partial(jax.jit, static_argnums=(1, 6, 7, 8, 9, 10, 11))
 def ms_deform_attn_pallas_bwd_cm(
     value: Array,                 # (N, S, M, D)
     spatial_shapes: Shapes,
@@ -953,8 +1004,12 @@ def ms_deform_attn_pallas_bwd_cm(
     # bit-identical, bwd 27.06 -> 22.34 ms/call (PROFILE.md round-6)
     hat_direct: bool = True,      # see ms_deform_attn_pallas_cm
     pstack: bool = False,         # see ms_deform_attn_pallas_cm
+    # expansion-side derivative contractions (K = hat axis, N = D*H_l lanes)
+    # for dx/dy/daw — see the kernel comment; A/B via bench variant cm_xk
+    xk: bool = False,
 ):
     """Returns (d_value, d_x_cm, d_y_cm, d_aw_cm) — dq grads in CM layout."""
+    assert not (pstack and xk), "pstack and xk are mutually exclusive A/B knobs"
     n, s, m, d = value.shape
     _, _, l, p, lq = x_cm.shape
     nm = n * m
@@ -1003,7 +1058,7 @@ def ms_deform_attn_pallas_bwd_cm(
     )
     outs = pl.pallas_call(
         functools.partial(_msda_cm_bwd_kernel, spatial_shapes, d, p, tile_q,
-                          tiles_per_chunk, ryx_mm, hat_direct, pstack),
+                          tiles_per_chunk, ryx_mm, hat_direct, pstack, xk),
         out_shape=tuple(out_shapes),
         grid=(nm, n_chunks),
         in_specs=[qspec] * 3 + [gspec] + vspecs + rspecs + rdspecs,

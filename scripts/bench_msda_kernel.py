@@ -40,8 +40,8 @@ SHAPE_SETS = {
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variants", nargs="+", default=["cm", "cm_rep"],
-                    choices=["cm", "cm_ps", "cm_rep", "cm_hc", "cm_rep_hc",
-                             "r4", "sep"])
+                    choices=["cm", "cm_ps", "cm_xk", "cm_rep", "cm_hc",
+                             "cm_rep_hc", "r4", "sep"])
     ap.add_argument("--shapes", default="eval", choices=list(SHAPE_SETS))
     ap.add_argument("--bwd", action="store_true",
                     help="also time the backward (cm and sep only)")
@@ -82,6 +82,8 @@ def main():
         if variant == "cm_ps":   # P points stacked into one dot per level/stage
             return lambda v, x, y, a: ms_deform_attn_pallas_cm(
                 v, shapes, x, y, a, pstack=True, **kw)
+        if variant == "cm_xk":   # backward-only knob: forward is production
+            return lambda v, x, y, a: ms_deform_attn_pallas_cm(v, shapes, x, y, a, **kw)
         if variant == "cm_rep":  # pltpu.repeat lane-tiling instead of the matmul
             return lambda v, x, y, a: ms_deform_attn_pallas_cm(
                 v, shapes, x, y, a, ryx_mm=False, **kw)
@@ -96,9 +98,9 @@ def main():
         return lambda v, x, y, a: ms_deform_attn_fast_cm(v, shapes, x, y, a, "separable")
 
     def make_bwd(variant):
-        impl = {"cm": "pallas", "cm_ps": "pallas_ps", "cm_rep": "pallas_rep",
-                "cm_hc": "pallas_hc", "cm_rep_hc": "pallas_rep_hc",
-                "sep": "separable"}[variant]
+        impl = {"cm": "pallas", "cm_ps": "pallas_ps", "cm_xk": "pallas_xk",
+                "cm_rep": "pallas_rep", "cm_hc": "pallas_hc",
+                "cm_rep_hc": "pallas_rep_hc", "sep": "separable"}[variant]
 
         def loss(v, x, y, a):
             return (ms_deform_attn_fast_cm(v, shapes, x, y, a, impl)

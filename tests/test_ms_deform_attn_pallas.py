@@ -167,6 +167,32 @@ def test_pallas_cm_pstack_parity_interpret(rng):
                                    atol=1e-7)
 
 
+def test_pallas_cm_xk_backward_parity_interpret(rng):
+    """The expansion-side derivative contractions ('_xk' impl suffix) flip
+    the dcx/dry dots' K and N axes (dx_q = sum_k da*(dxrow@V'), dy/daw via
+    ga = gxH*a against dyrow@REP / hy@REP) so the dots run with full D*H_l
+    output lanes instead of N = W_l/H_l (<= 80 of 128).  All grads agree to
+    bf16-product precision rather than bit-exactly: hy rides through REP as
+    bf16 before the aw scaling (double rounding, 1 bf16 ulp in ryx/da — so
+    even dV can differ), and dx/dy/daw sum the same products in a different
+    (lane vs MXU-tree) order."""
+    from ocpg_tpu.ops.ms_deform_attn_pallas import ms_deform_attn_pallas_bwd_cm
+
+    value, locs, attn = _inputs(rng)
+    x_cm, y_cm, aw_cm = _to_cm(locs, attn)
+    g = jnp.asarray(np.random.default_rng(7).random(
+        (value.shape[0], locs.shape[1], value.shape[2] * value.shape[3])),
+        jnp.float32)
+    ga = ms_deform_attn_pallas_bwd_cm(value, SHAPES, x_cm, y_cm, aw_cm, g,
+                                      128, True)
+    gb = ms_deform_attn_pallas_bwd_cm(value, SHAPES, x_cm, y_cm, aw_cm, g,
+                                      128, True, xk=True)
+    for x, y in zip(ga, gb):
+        scale = np.abs(np.asarray(x)).max() + 1e-6
+        np.testing.assert_allclose(np.asarray(y) / scale,
+                                   np.asarray(x) / scale, atol=2e-2)
+
+
 def test_pallas_cm_backward_exact_integer_coords(rng):
     """Sampling coordinates that land EXACTLY on integer pixels (a kink of
     the bilinear hat).  At f32 bench scale dozens of coordinates do this, and
