@@ -46,6 +46,13 @@ def main():
     ap.add_argument("--trace", action="store_true",
                     help="capture a jax.profiler trace and print the op breakdown")
     ap.add_argument("--trace_dir", default="/tmp/ocpg_profile_train")
+    ap.add_argument("--overfit", type=int, default=0, metavar="N",
+                    help="instead of timing, run N optimizer steps on the one "
+                         "fixed synthetic batch and print the loss trajectory "
+                         "— on-real-TPU convergence evidence for the full "
+                         "production config (the CPU-mesh equivalent is "
+                         "tests/test_convergence.py). Writes TRAIN_TPU.json "
+                         "at the repo root.")
     args = ap.parse_args()
 
     import jax
@@ -88,6 +95,38 @@ def main():
             return s, metrics["loss"]
         s, losses = jax.lax.scan(body, state, None, length=n_iters)
         return s, losses
+
+    if args.overfit:
+        # Convergence mode: N optimizer steps on the one fixed batch, loss
+        # trajectory recorded.  Production config end to end — bf16, dropout
+        # on, loss warmup schedule live — on the real chip; complements the
+        # 8-device CPU-mesh convergence test (tests/test_convergence.py).
+        import json
+
+        curve, total, chunk = [], 0, 25
+        while total < args.overfit:
+            n = min(chunk, args.overfit - total)
+            state, losses = chained(state, batch, n)
+            curve.extend(float(v) for v in np.asarray(losses, np.float64))
+            total += n
+            print(f"step {total}: loss {curve[-1]:.3f}", flush=True)
+        artifact = {
+            "backbone": args.backbone,
+            "shape": f"{args.batch}x{args.frames}f {args.height}x{args.width} bf16",
+            "steps": total,
+            "loss_first": curve[0],
+            "loss_min10": float(np.mean(sorted(curve)[:10])),
+            "loss_last10": float(np.mean(curve[-10:])),
+            "curve_every_10": curve[::10],
+            "converged": bool(np.mean(curve[-10:]) < 0.5 * curve[0]),
+        }
+        out_path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "TRAIN_TPU.json")
+        with open(out_path, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"loss {curve[0]:.2f} -> {artifact['loss_last10']:.2f} "
+              f"(mean of last 10) over {total} steps; wrote {out_path}")
+        return
 
     print("warmup/compile ...", flush=True)
     state, losses = chained(state, batch, args.iters_short)
