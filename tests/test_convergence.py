@@ -30,6 +30,7 @@ def _mask_iou(logits: np.ndarray, gt: np.ndarray) -> float:
     return float(inter) / max(float(union), 1.0)
 
 
+@pytest.mark.slow
 def test_overfit_one_batch():
     # Calibration (measured on the honest 8-device CPU mesh — PROFILE.md
     # probes, 2026-08):
