@@ -55,6 +55,15 @@ def get_args():
     p.add_argument("--resize", type=int, default=360)
     p.add_argument("--max_size", type=int, default=640)
     p.add_argument("--tokenizer_path", default=None)
+    p.add_argument("--buckets", default="default",
+                   help="'default' (the 360p canvas buckets), 'exact' "
+                        "(per-request /64-aligned canvas — zero padding, "
+                        "bit-faithful to the reference's eager exact-shape "
+                        "inference, one XLA compile per distinct shape), or "
+                        "'H1xW1,H2xW2,...'.  Canvas padding perturbs "
+                        "GroupNorm statistics and the LFM FFT spectrum, so "
+                        "bucketed runs trade a small output perturbation for "
+                        "a bounded compile count (see PARITY.md)")
     p.add_argument("--config_overrides", default=None,
                    help="JSON dict of OCPGConfig field overrides "
                         "(e.g. tiny models for smoke/e2e tests)")
@@ -93,6 +102,17 @@ def init_engine(cfg, args, example_frames, tokenizer):
     from ..engine.infer import ClipInferenceEngine
     from ..models import build_model
 
+    from ..engine.infer import DEFAULT_BUCKETS
+
+    spec = getattr(args, "buckets", "default")
+    if spec == "default":
+        buckets = DEFAULT_BUCKETS
+    elif spec == "exact":
+        buckets = ()          # pick_bucket falls back to the exact /64 canvas
+    else:
+        buckets = tuple(tuple(int(v) for v in b.split("x"))
+                        for b in spec.split(","))
+
     model, *_ = build_model(cfg)
     t, h, w = example_frames.shape[:3]
     ids, attn = tokenizer(["init"])
@@ -115,7 +135,7 @@ def init_engine(cfg, args, example_frames, tokenizer):
 
             params = load_params(args.checkpoint, params)
     return model, ClipInferenceEngine(
-        model, params, clip_len=args.clip_len,
+        model, params, clip_len=args.clip_len, buckets=buckets,
         per_device_batch=getattr(args, "per_device_batch", 1))
 
 

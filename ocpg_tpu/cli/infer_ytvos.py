@@ -35,6 +35,8 @@ def get_args():
     p.add_argument("--max_size", type=int, default=640)
     p.add_argument("--threshold", type=float, default=0.5)
     p.add_argument("--tokenizer_path", default=None)
+    p.add_argument("--buckets", default="default",
+                   help="'default', 'exact', or 'H1xW1,...' — see infer_davis")
     p.add_argument("--config_overrides", default=None,
                    help="JSON dict of OCPGConfig field overrides")
     return p.parse_args()

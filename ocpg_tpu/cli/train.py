@@ -92,7 +92,7 @@ def main():
     from ..engine.checkpoint import CheckpointManager
     from ..models import build_model
     from ..models.text_encoder import SimpleTokenizer
-    from ..parallel import create_mesh, replicate, shard_batch
+    from ..parallel import create_mesh, prefetch_to_mesh, replicate, shard_batch
     from ..utils.logging import JSONLLogger, MetricMeter
 
     from ..parallel import initialize_distributed, is_main_process
@@ -208,13 +208,15 @@ def main():
         meter = MetricMeter()
         timer = StepTimer()
         t0 = time.time()
-        for i, batch in enumerate(loader.epoch(epoch)):
+        # double-buffered device prefetch: batch k+1's H2D transfer is issued
+        # while step k executes (see parallel/mesh.py::prefetch_to_mesh)
+        for i, (batch, sharded) in enumerate(
+                prefetch_to_mesh(loader.epoch(epoch), mesh)):
             timer.data_ready()
             if args.profile_dir and epoch == start_epoch and i == 10:
                 import jax.profiler
 
                 jax.profiler.start_trace(args.profile_dir)
-            sharded = shard_batch(mesh, batch)
             state, metrics = train_step(state, sharded)
             if args.profile_dir and epoch == start_epoch and i == 14:
                 jax.tree_util.tree_map(

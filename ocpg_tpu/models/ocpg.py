@@ -31,7 +31,8 @@ from .backbone_resnet import build_resnet
 from .cross_modal import LFM, VisionLanguageFusion
 from .deformable_transformer import DeformableTransformer
 from .layers import MLP, FeatureResizer, inverse_sigmoid, xavier_uniform
-from .mask_head import MSO, apply_dynamic_conv, compute_locations, dynamic_params_layout
+from .mask_head import (MSO, apply_dynamic_conv_shared, compute_locations,
+                        dynamic_params_layout)
 from .matcher import MatcherConfig, match
 from .position_encoding import position_embedding_sine_1d, position_embedding_sine_2d
 from .text_encoder import RobertaConfig, RobertaEncoder
@@ -224,8 +225,12 @@ class OCPG(nn.Module):
 
         # ---------------- segmentation (ocpg.py:336-351) ----------------
         h8, w8 = memory[0].shape[1], memory[0].shape[2]
+        # bicubic in the compute dtype (bf16 under production config: one MXU
+        # pass instead of fp32-HIGHEST's six), fp32 from the sum onward — the
+        # dynamic-conv head and ls path stay fp32 as before
         memory_fusion = sum(
-            bicubic_resize(x.astype(jnp.float32), (h8, w8), align_corners=False) for x in memory
+            bicubic_resize(x, (h8, w8), align_corners=False).astype(jnp.float32)
+            for x in memory
         )  # (BT, h8, w8, C) fp32
         mask_dim_ch = cfg.dynamic_mask_channels
         weight_nums, bias_nums = dynamic_params_layout(
@@ -242,7 +247,15 @@ class OCPG(nn.Module):
 
         patch_masks_layers = []       # (L, B, T, Q, h8, w8, 16) patch logits
         formatcher_layers = []        # (L, B, T, Q, h2, w2) pixel-shuffled
-        for lvl in range(ldec):
+        # Eval consumes only the LAST layer's patches (reference eval branch,
+        # ocpg.py:423,457 index outputs_seg_masks[-1]) and never reads the
+        # pixel-shuffled formatcher maps — the reference still runs the
+        # dynamic-conv head for every decoder layer in eval (:342-351); here
+        # the dead layers are skipped (mf broadcast + dynamic conv are the
+        # mask path's biggest HBM tenants).  patch_masks_layers[-1] stays the
+        # final layer either way.
+        head_lvls = range(ldec) if train else [ldec - 1]
+        for lvl in head_lvls:
             params = controller(hs[lvl].astype(jnp.float32))
             params = params.reshape(b, t, nq, num_params)
             refs = inter_references[lvl][..., :2].reshape(b, t, nq, 2)
@@ -250,18 +263,22 @@ class OCPG(nn.Module):
 
             if cfg.rel_coord:
                 rel = refs[:, :, :, None, None, :] - locations[None, None, None]  # (B,T,Q,h8,w8,2)
-            mf = memory_fusion.reshape(b, t, h8, w8, -1)
-            mf = jnp.broadcast_to(mf[:, :, None], (b, t, nq, h8, w8, mf.shape[-1]))
-            if cfg.rel_coord:
-                mf = jnp.concatenate([mf, rel.astype(jnp.float32)], axis=-1)
-
-            inst_feats = mf.reshape(b * t * nq, h8, w8, -1)
-            inst_params = params.reshape(b * t * nq, num_params)
-            patch = apply_dynamic_conv(inst_feats, inst_params, mask_dim_ch,
-                                       weight_nums, bias_nums)       # (BTQ, h8, w8, 16)
+                rel_g = rel.astype(jnp.float32).reshape(b * t, nq, h8, w8, 2)
+            else:
+                rel_g = jnp.zeros((b * t, nq, h8, w8, 2), jnp.float32)
+            # first-layer input split into query-shared memory + per-query
+            # rel coords — same math as the reference's per-query concat
+            # (ocpg.py:506-517) without materialising the Q-fold broadcast
+            # of the 256-channel memory (see apply_dynamic_conv_shared)
+            mem_bt = memory_fusion.reshape(b * t, h8, w8, -1)
+            patch = apply_dynamic_conv_shared(
+                mem_bt, rel_g, params.reshape(b * t, nq, num_params),
+                mask_dim_ch, weight_nums, bias_nums)     # (BT, Q, h8, w8, 16)
             patch_masks_layers.append(patch.reshape(b, t, nq, h8, w8, mask_dim_ch))
-            shuffled = pixel_shuffle(patch, 4)[..., 0]               # (BTQ, h2, w2)
-            formatcher_layers.append(shuffled.reshape(b, t, nq, h8 * 4, w8 * 4))
+            if train:   # matcher/criterion input only (ocpg.py:352-366)
+                shuffled = pixel_shuffle(
+                    patch.reshape(b * t * nq, h8, w8, mask_dim_ch), 4)[..., 0]
+                formatcher_layers.append(shuffled.reshape(b, t, nq, h8 * 4, w8 * 4))
 
         feat_4x = feats[0]
         feat_8x = feats[1]
@@ -333,9 +350,17 @@ class OCPG(nn.Module):
 
         # ---------------- eval branches ----------------
         if cfg.dataset_file not in ("a2d", "jhmdb") and "refcoco" not in cfg.dataset_file:
-            # DAVIS / YTVOS: best query by mean score (ocpg.py:401-433)
+            # DAVIS / YTVOS: best query by mean score (ocpg.py:401-433).
+            # The mean over T must skip padding frames (fully-masked canvases
+            # the static-shape inference engine appends to reach clip_len):
+            # the reference's eager loop only ever sees real frames
+            # (inference_davis.py:230-236), so a plain mean would let garbage
+            # pad-frame logits flip the best-query choice on short chunks.
             scores = jax.nn.sigmoid(out["pred_logits"].astype(jnp.float32))  # (B,T,Q,K)
-            best_q = scores.mean(axis=1).max(axis=-1).argmax(axis=-1)        # (B,)
+            frame_ok = 1.0 - samples_mask.reshape(b, t, -1).all(axis=-1).astype(jnp.float32)
+            fv = frame_ok[:, :, None, None]                                  # (B,T,1,1)
+            mean_scores = (scores * fv).sum(axis=1) / jnp.maximum(fv.sum(axis=1), 1.0)
+            best_q = mean_scores.max(axis=-1).argmax(axis=-1)                # (B,)
             sel = best_q[:, None, None, None]
             out["pred_logits"] = jnp.take_along_axis(out["pred_logits"], sel, axis=2)
             out["pred_boxes"] = jnp.take_along_axis(
@@ -352,14 +377,14 @@ class OCPG(nn.Module):
             out["pred_masks"] = full.reshape(b, t, 1, H, W)
             return out
 
-        # A2D / JHMDB / RefCOCO: refine every query (ocpg.py:434-445)
+        # A2D / JHMDB / RefCOCO: refine every query (ocpg.py:434-445).
+        # feat_4x/feat_8x are shared by the Q queries of each (b, t) group —
+        # MSO's split-conv path (queries=nq) refines all queries without the
+        # reference's Q-fold feature replication (per-query mask_refine loop
+        # at ocpg.py:457-465).
         patch = patch_masks_layers[-1]                       # (B,T,Q,h8,w8,16)
-        patch_q = patch.transpose(0, 2, 1, 3, 4, 5).reshape(b * nq * t, h8, w8, mask_dim_ch)
-        f4 = jnp.repeat(feat_4x.reshape(b, t, *feat_4x.shape[1:]), nq, axis=0).reshape(
-            b * nq * t, *feat_4x.shape[1:])
-        f8 = jnp.repeat(feat_8x.reshape(b, t, *feat_8x.shape[1:]), nq, axis=0).reshape(
-            b * nq * t, *feat_8x.shape[1:])
-        refined = mso(patch_q.astype(dtype), f4, f8)
+        patch_q = patch.reshape(b * t * nq, h8, w8, mask_dim_ch)   # (bt)-major
+        refined = mso(patch_q.astype(dtype), feat_4x, feat_8x, queries=nq)
         full = nearest_resize(refined.astype(jnp.float32), (H, W))[..., 0]
-        out["pred_masks"] = full.reshape(b, nq, t, H, W).transpose(0, 2, 1, 3, 4)  # (B,T,Q,H,W)
+        out["pred_masks"] = full.reshape(b, t, nq, H, W)           # (B,T,Q,H,W)
         return out

@@ -83,8 +83,16 @@ def _resize_matrix(in_size: int, out_size: int, mode: str, align_corners: bool) 
 
 
 def _apply_separable(x: Array, mh: np.ndarray, mw: np.ndarray) -> Array:
-    # x: (..., H, W, C)
+    # x: (..., H, W, C).  bf16 inputs keep bf16 operands with f32 MXU
+    # accumulation (one systolic pass); f32 inputs use HIGHEST (the 6-pass
+    # decomposition) so the fp32 parity path stays bit-faithful to torch.
     dt = x.dtype
+    if dt == jnp.bfloat16:
+        y = jnp.einsum("oh,...hwc->...owc", jnp.asarray(mh, jnp.bfloat16), x,
+                       preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        y = jnp.einsum("pw,...owc->...opc", jnp.asarray(mw, jnp.bfloat16), y,
+                       preferred_element_type=jnp.float32)
+        return y.astype(dt)
     xf = x.astype(jnp.float32)
     mh_j = jnp.asarray(mh)
     mw_j = jnp.asarray(mw)
@@ -105,6 +113,18 @@ def _resize(x: Array, size: Tuple[int, int], mode: str, align_corners: bool) -> 
 
 def nearest_resize(x: Array, size: Tuple[int, int]) -> Array:
     """torch F.interpolate(mode='nearest') on NHWC input."""
+    h, w = x.shape[-3], x.shape[-2]
+    oh, ow = size
+    if oh % h == 0 and ow % w == 0 and (oh > h or ow > w):
+        # Integer-factor upsample: torch legacy nearest picks
+        # src = floor(dst * in/out) = dst // r, i.e. each source pixel is
+        # repeated r times — identical output, but as a pure broadcast
+        # (layout op, fuses into the consumer) instead of a 0/1 matmul.
+        # This is the model's final x4 full-resolution mask upsample
+        # (ocpg.py:390,431,442) — the hottest resize in the eval path.
+        rh, rw = oh // h, ow // w
+        y = jnp.repeat(x, rh, axis=-3) if rh > 1 else x
+        return jnp.repeat(y, rw, axis=-2) if rw > 1 else y
     return _resize(x, size, "nearest", False)
 
 
@@ -127,6 +147,8 @@ def interpolate_like_torch(
     if size is None:
         assert scale_factor is not None
         size = (x.shape[-3] * scale_factor, x.shape[-2] * scale_factor)
+    if mode == "nearest":
+        return nearest_resize(x, size)
     return _resize(x, size, mode, align_corners)
 
 

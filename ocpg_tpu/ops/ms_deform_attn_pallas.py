@@ -1080,3 +1080,139 @@ def ms_deform_attn_pallas_bwd_cm(
 
     return (d_value, unfold(dxg).astype(x_cm.dtype),
             unfold(dyg).astype(y_cm.dtype), unfold(dawg).astype(aw_cm.dtype))
+
+
+# --------------------------------------------------------------------------
+# Multi-level fused-K formulation (PROFILE.md round-4 closing, the last
+# named structural lever): concatenate the per-level hat rows on the lane
+# axis and replace the L per-level stage dots with ONE block-diagonal dot
+# per stage,
+#     A_all   = [cx_0 | .. | cx_3] @ blockdiag(V'_l)     K = sum W_l = 150
+#     RYX_all = [ry_0 | .. | ry_3] @ blockdiag(REP_l)    K = sum H_l = 90
+# Pass-count analysis says this should LOSE: the separate level dots each
+# pay one (K <= 80 < 128)-deep pass per ceil(D*H_l/128) lane tile
+# (12+6+3+2 = 23 units/point/stage), while the fused dot pays
+# ceil(150/128) = 2 passes across ALL ceil(sum D*H_l/128) = 23 lane tiles
+# (46 units) — the block-diagonal zeros are not free on a systolic array.
+# Built to close the claim with an on-chip measurement
+# (scripts/bench_msda_kernel.py --variants cm fk); verdict in PROFILE.md.
+# --------------------------------------------------------------------------
+
+
+def _msda_cm_fk_kernel(levels, d, p, tile, tiles_per_chunk,
+                       x_ref, y_ref, aw_ref, vb_ref, repb_ref, sel_ref,
+                       out_ref):
+    nl = len(levels)
+
+    def tile_body(j, carry):
+        q0 = pl.multiple_of(j * tile, tile)
+        accp = None
+        for pi in range(p):
+            cxs, rys = [], []
+            for l, (h, w) in enumerate(levels):
+                iw = jax.lax.broadcasted_iota(jnp.int32, (tile, w), 1).astype(jnp.float32)
+                ih = jax.lax.broadcasted_iota(jnp.int32, (tile, h), 1).astype(jnp.float32)
+                x = x_ref[0, l, pi, pl.ds(q0, tile)] * w - 0.5
+                y = y_ref[0, l, pi, pl.ds(q0, tile)] * h - 0.5
+                aw = aw_ref[0, l, pi, pl.ds(q0, tile)]
+                cxs.append(_hat_direct(x, iw))
+                rys.append(_hat_direct(y, ih) * aw[:, None])
+            cx_all = jnp.concatenate(cxs, axis=1).astype(jnp.bfloat16)  # (tile, sum W)
+            ry_all = jnp.concatenate(rys, axis=1).astype(jnp.bfloat16)  # (tile, sum H)
+            a = jnp.dot(cx_all, vb_ref[0],
+                        preferred_element_type=jnp.float32
+                        ).astype(jnp.bfloat16)                          # (tile, sum D*H)
+            ryx = jnp.dot(ry_all, repb_ref[...],
+                          preferred_element_type=jnp.float32
+                          ).astype(jnp.bfloat16)
+            prod = (a * ryx).astype(jnp.float32)
+            accp = prod if accp is None else accp + prod
+        out = jnp.dot(accp.astype(jnp.bfloat16), sel_ref[...],
+                      preferred_element_type=jnp.float32)               # (tile, L*D)
+        acc = out[:, :d]
+        for l in range(1, nl):
+            acc = acc + out[:, l * d:(l + 1) * d]
+        out_ref[0, pl.ds(q0, tile), :] = acc
+        return carry
+
+    jax.lax.fori_loop(0, tiles_per_chunk, tile_body, 0)
+
+
+@functools.lru_cache(maxsize=None)
+def _repb_np(spatial_shapes: Shapes, d: int):
+    """Block-diagonal (sum H_l, sum D*H_l) replicator."""
+    import numpy as np
+
+    reps, _ = _constants_np(spatial_shapes, d)
+    hs = [r.shape[0] for r in reps]
+    dhs = [r.shape[1] for r in reps]
+    out = np.zeros((sum(hs), sum(dhs)), bool)
+    r0 = c0 = 0
+    for r in reps:
+        out[r0:r0 + r.shape[0], c0:c0 + r.shape[1]] = r
+        r0 += r.shape[0]
+        c0 += r.shape[1]
+    return out
+
+
+@functools.partial(jax.jit, static_argnums=(1, 5, 6))
+def ms_deform_attn_pallas_cm_fk(
+    value: Array,                 # (N, S, M, D)
+    spatial_shapes: Shapes,
+    x_cm: Array,                  # (N, M, L, P, Lq) normalized [0, 1]
+    y_cm: Array,
+    aw_cm: Array,
+    tile_q: int = 512,
+    interpret: bool = False,
+) -> Array:                       # (N, Lq, M * D)
+    n, s, m, d = value.shape
+    _, _, l, p, lq = x_cm.shape
+    nm = n * m
+
+    # block-diagonal value operand (NM, sum W_l, sum D*H_l)
+    v_levels = _fold_value_levels(value, spatial_shapes)
+    dhs = [d * h for (h, w) in spatial_shapes]
+    dh_sum = sum(dhs)
+    vb_parts = []
+    c0 = 0
+    for v, dh in zip(v_levels, dhs):
+        vb_parts.append(jnp.pad(v, ((0, 0), (0, 0), (c0, dh_sum - c0 - dh))))
+        c0 += dh
+    vb = jnp.concatenate(vb_parts, axis=1)          # (NM, sum W, sum D*H)
+
+    tile_q, pad, qtot, chunk, tiles_per_chunk = _cm_tiling(lq, tile_q)
+    n_chunks = qtot // chunk
+
+    def fold(a):
+        a = a.astype(jnp.float32).reshape(nm, l, p, lq)
+        return jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, pad))) if pad else a
+
+    xf, yf, awf = fold(x_cm), fold(y_cm), fold(aw_cm)
+    repb = jnp.asarray(_repb_np(spatial_shapes, d), jnp.bfloat16)
+    _, sel = _constants(spatial_shapes, d)
+    wsum = vb.shape[1]
+    hsum = repb.shape[0]
+
+    qspec = pl.BlockSpec((1, l, p, chunk), lambda i, j: (i, 0, 0, j),
+                         memory_space=pltpu.VMEM)
+    vbspec = pl.BlockSpec((1, wsum, dh_sum), lambda i, j: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    rbspec = pl.BlockSpec((hsum, dh_sum), lambda i, j: (0, 0),
+                          memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((dh_sum, l * d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_msda_cm_fk_kernel, spatial_shapes, d, p, tile_q,
+                          tiles_per_chunk),
+        out_shape=jax.ShapeDtypeStruct((nm, qtot, d), jnp.float32),
+        grid=(nm, n_chunks),
+        in_specs=[qspec] * 3 + [vbspec, rbspec, sspec],
+        out_specs=pl.BlockSpec((1, chunk, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xf, yf, awf, vb, repb, sel)
+
+    out = out[:, :lq]
+    return out.reshape(n, m, lq, d).transpose(0, 2, 1, 3).reshape(
+        n, lq, m * d).astype(value.dtype)

@@ -46,6 +46,29 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def prefetch_to_mesh(iterator, mesh: Mesh, size: int = 2, axis: str = "data"):
+    """Double-buffered device prefetch: yields `(host_batch, device_batch)`
+    with the NEXT batch's host->device transfer already issued.
+
+    `jax.device_put` is async, so while the device executes step k the host
+    decodes batch k+1 AND its transfer rides the wire — the transfer leaves
+    the critical path.  The reference gets the same overlap implicitly from
+    CUDA's async H2D under torch DataLoader pinned memory
+    (/root/reference/main.py:197-214); under the tunneled TPU runtime the
+    transfer is long enough that forgetting this costs ~a transfer per step
+    (measured in PROFILE.md, loader-in-the-loop section).
+    """
+    from collections import deque
+
+    buf = deque()
+    for batch in iterator:
+        buf.append((batch, shard_batch(mesh, batch, axis)))
+        if len(buf) >= size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 def batch_pspec(mesh: Mesh, batch, axis: str = "data"):
     def spec(x):
         if hasattr(x, "ndim") and x.ndim >= 1:

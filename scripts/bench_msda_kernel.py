@@ -41,7 +41,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variants", nargs="+", default=["cm", "cm_rep"],
                     choices=["cm", "cm_ps", "cm_xk", "cm_rep", "cm_hc",
-                             "cm_rep_hc", "r4", "sep"])
+                             "cm_rep_hc", "r4", "fk", "sep"])
     ap.add_argument("--shapes", default="eval", choices=list(SHAPE_SETS))
     ap.add_argument("--bwd", action="store_true",
                     help="also time the backward (cm and sep only)")
@@ -95,6 +95,9 @@ def main():
                 v, shapes, x, y, a, ryx_mm=False, hat_direct=False, **kw)
         if variant == "r4":
             return lambda v, x, y, a: ms_deform_attn_pallas_cm_r4(v, shapes, x, y, a, **kw)
+        if variant == "fk":      # multi-level fused-K (block-diagonal stage dots)
+            from ocpg_tpu.ops.ms_deform_attn_pallas import ms_deform_attn_pallas_cm_fk
+            return lambda v, x, y, a: ms_deform_attn_pallas_cm_fk(v, shapes, x, y, a, **kw)
         return lambda v, x, y, a: ms_deform_attn_fast_cm(v, shapes, x, y, a, "separable")
 
     def make_bwd(variant):

@@ -34,6 +34,104 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
+def run_e2e(args, cfg, model, criterion_cfg, weight_dict):
+    """Loader-in-the-loop train throughput: the chip fed by the real
+    ClipLoader (native JPEG/h5 decode, transforms, static-canvas collate)
+    from a synthetic on-disk Ref-YTVOS tree, with double-buffered device
+    prefetch (parallel/mesh.py::prefetch_to_mesh).  The resident-batch
+    single-dispatch loop is measured back to back as the device-bound
+    floor, so the artifact separates device time from host/feed time.
+    Reference equivalent: /root/reference/main.py:197-214.
+    """
+    import itertools
+    import json
+    import shutil
+    import tempfile
+
+    import jax
+
+    from bench_loader import build_tree
+    from ocpg_tpu.data.datasets import build_dataset
+    from ocpg_tpu.data.loader import ClipLoader
+    from ocpg_tpu.engine import build_optimizer, create_train_state, make_train_step
+    from ocpg_tpu.parallel import create_mesh, prefetch_to_mesh, shard_batch
+
+    root = tempfile.mkdtemp(prefix="e2ebench_")
+    try:
+        t0 = time.time()
+        build_tree(root, args.e2e_videos, args.e2e_frames_per_video)
+        print(f"fixture tree built in {time.time() - t0:.1f}s", flush=True)
+        dataset = build_dataset("ytvos", root, "train", args.frames, "box")
+        loader = ClipLoader(dataset, args.batch, canvas=(args.height, args.width),
+                            train=True, num_workers=args.e2e_workers,
+                            text_vocab=cfg.text_vocab)
+
+        host = next(iter(loader.epoch(0)))
+        params = jax.jit(lambda: model.init(
+            jax.random.PRNGKey(0),
+            host["samples"], host["samples_mask"],
+            host["text_ids"], host["text_mask"], host["targets"]["size"],
+            targets=host["targets"], train=True))()
+        optimizer = build_optimizer(cfg, lr_drop_steps=[10**9])
+        state = create_train_state(params, optimizer)
+        step_fn = jax.jit(
+            make_train_step(model, criterion_cfg, weight_dict, optimizer),
+            donate_argnums=(0,))
+
+        mesh = create_mesh()
+
+        def epochs():
+            for e in itertools.count():
+                yield from loader.epoch(e)
+
+        it = prefetch_to_mesh(epochs(), mesh)
+
+        # warmup: compile + loader spin-up
+        for _ in range(4):
+            _, dev = next(it)
+            state, metrics = step_fn(state, dev)
+        jax.block_until_ready(metrics["loss"])
+
+        t0 = time.perf_counter()
+        for _ in range(args.e2e):
+            _, dev = next(it)
+            state, metrics = step_fn(state, dev)
+        float(metrics["loss"])                       # sync once at the end
+        e2e_ms = (time.perf_counter() - t0) / args.e2e * 1000
+
+        # device-bound floor: same jitted step, resident batch, async dispatch
+        resident = shard_batch(mesh, host)
+        state, metrics = step_fn(state, resident)
+        jax.block_until_ready(metrics["loss"])
+        n_res = min(args.e2e, 50)
+        t0 = time.perf_counter()
+        for _ in range(n_res):
+            state, metrics = step_fn(state, resident)
+        float(metrics["loss"])
+        resident_ms = (time.perf_counter() - t0) / n_res * 1000
+
+        artifact = {
+            "backbone": args.backbone,
+            "shape": f"{args.batch}x{args.frames}f {args.height}x{args.width} bf16",
+            "steps": args.e2e,
+            "e2e_train_step_ms": round(e2e_ms, 1),
+            "e2e_steps_per_sec": round(1000.0 / e2e_ms, 3),
+            "resident_step_ms": round(resident_ms, 1),
+            "feed_overhead_pct": round((e2e_ms / resident_ms - 1) * 100, 1),
+            "loader_workers": args.e2e_workers,
+            "host_cores": os.cpu_count(),
+            "prefetch": "double-buffered device_put (prefetch_to_mesh)",
+        }
+        out_path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "E2E_TRAIN_TPU.json")
+        with open(out_path, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(json.dumps(artifact))
+        print(f"wrote {out_path}")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=3)
@@ -46,6 +144,18 @@ def main():
     ap.add_argument("--trace", action="store_true",
                     help="capture a jax.profiler trace and print the op breakdown")
     ap.add_argument("--trace_dir", default="/tmp/ocpg_profile_train")
+    ap.add_argument("--e2e", type=int, default=0, metavar="N",
+                    help="loader-in-the-loop mode: N train steps on the chip "
+                         "fed by the real ClipLoader from a synthetic on-disk "
+                         "YTVOS tree (720p JPEG + h5 heatmaps), with "
+                         "double-buffered device prefetch.  Measures "
+                         "sustained e2e steps/s vs the resident-batch step "
+                         "and writes E2E_TRAIN_TPU.json at the repo root "
+                         "(reference: torch DataLoader feeding the GPU, "
+                         "/root/reference/main.py:197-214).")
+    ap.add_argument("--e2e_workers", type=int, default=4)
+    ap.add_argument("--e2e_videos", type=int, default=4)
+    ap.add_argument("--e2e_frames_per_video", type=int, default=24)
     ap.add_argument("--overfit", type=int, default=0, metavar="N",
                     help="instead of timing, run N optimizer steps on the one "
                          "fixed synthetic batch and print the loss trajectory "
@@ -68,6 +178,9 @@ def main():
                                       num_frames=args.frames)
     jax.config.update("jax_default_prng_impl", cfg.prng_impl)  # production default
     model, _, criterion_cfg, weight_dict = build_model(cfg)
+    if args.e2e:
+        run_e2e(args, cfg, model, criterion_cfg, weight_dict)
+        return
     rng = np.random.default_rng(0)
     host = synthetic_batch(rng, batch=args.batch, frames=args.frames,
                            height=args.height, width=args.width)

@@ -349,3 +349,25 @@ def test_convert_checkpoint_tool_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(
         np.asarray(loaded["params"]["transformer"]["level_embed"]),
         replica.state_dict()["transformer.level_embed"].numpy(), rtol=1e-6)
+
+
+def test_prefetch_to_mesh_order_and_placement():
+    """Double-buffered prefetch must preserve batch order, yield every batch
+    exactly once, and place arrays on the mesh with the data axis sharded."""
+    import jax
+    import numpy as np
+
+    from ocpg_tpu.parallel import create_mesh, prefetch_to_mesh
+
+    mesh = create_mesh()
+    n_dev = mesh.devices.size
+    batches = [{"x": np.full((n_dev, 3), i, np.float32), "s": np.float32(i)}
+               for i in range(5)]
+    seen = []
+    for host, dev in prefetch_to_mesh(iter(batches), mesh):
+        assert float(host["s"]) == float(np.asarray(dev["s"]))
+        np.testing.assert_array_equal(np.asarray(dev["x"]), host["x"])
+        assert isinstance(dev["x"], jax.Array)
+        assert len(dev["x"].sharding.device_set) == n_dev
+        seen.append(int(host["s"]))
+    assert seen == list(range(5))

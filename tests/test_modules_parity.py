@@ -172,3 +172,57 @@ def test_dynamic_conv_matches_torch_grouped_conv(rng):
     x = F.conv2d(x, ws[1], bs[1], groups=n_inst)
     expected = x.reshape(n_inst, ch, hh, ww).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_dynamic_conv_shared_matches_naive(rng):
+    """apply_dynamic_conv_shared (first-layer memory/rel split, no Q-fold
+    broadcast) must equal apply_dynamic_conv on the concatenated input."""
+    from ocpg_tpu.models.mask_head import (
+        apply_dynamic_conv, apply_dynamic_conv_shared, dynamic_params_layout)
+
+    g, q, hh, ww, c, ch = 2, 3, 6, 7, 8, 4
+    for rel_coord in (True, False):
+        weight_nums, bias_nums = dynamic_params_layout(c, ch, 2, rel_coord)
+        num_params = sum(weight_nums) + sum(bias_nums)
+        mem = rng.standard_normal((g, hh, ww, c)).astype(np.float32)
+        rel = rng.standard_normal((g, q, hh, ww, 2)).astype(np.float32)
+        params = rng.standard_normal((g, q, num_params)).astype(np.float32)
+
+        got = np.asarray(apply_dynamic_conv_shared(
+            jnp.asarray(mem), jnp.asarray(rel), jnp.asarray(params),
+            ch, weight_nums, bias_nums))
+
+        mem_q = np.broadcast_to(mem[:, None], (g, q, hh, ww, c))
+        feats = (np.concatenate([mem_q, rel], axis=-1) if rel_coord
+                 else mem_q).reshape(g * q, hh, ww, -1)
+        want = np.asarray(apply_dynamic_conv(
+            jnp.asarray(feats), jnp.asarray(params.reshape(g * q, num_params)),
+            ch, weight_nums, bias_nums)).reshape(g, q, hh, ww, ch)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_mso_shared_queries_matches_per_query_loop(rng):
+    """MSO's split-conv shared-feature path (queries=Q) must equal running
+    the plain path per query with replicated features (the reference's loop
+    at ocpg.py:457-465)."""
+    import jax
+
+    from ocpg_tpu.models.mask_head import MSO
+
+    g, q, h8, w8, mc = 2, 3, 8, 10, 16
+    dims = (24, 40)
+    mso = MSO(mask_dim=mc, img_dims=dims, dtype=jnp.float32)
+    pm = rng.standard_normal((g * q, h8, w8, mc)).astype(np.float32)
+    f8 = rng.standard_normal((g, h8, w8, dims[1])).astype(np.float32)
+    f4 = rng.standard_normal((g, 2 * h8, 2 * w8, dims[0])).astype(np.float32)
+
+    params = mso.init(jax.random.PRNGKey(0), jnp.asarray(pm),
+                      jnp.asarray(f4), jnp.asarray(f8), q)
+    got = np.asarray(mso.apply(params, jnp.asarray(pm), jnp.asarray(f4),
+                               jnp.asarray(f8), q))
+
+    f4_rep = np.repeat(f4, q, axis=0)
+    f8_rep = np.repeat(f8, q, axis=0)
+    want = np.asarray(mso.apply(params, jnp.asarray(pm), jnp.asarray(f4_rep),
+                                jnp.asarray(f8_rep), 1))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

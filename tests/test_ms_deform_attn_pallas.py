@@ -292,3 +292,17 @@ def test_pallas_cm_r4_matches_gather_interpret(rng):
     got = ms_deform_attn_pallas_cm_r4(value, SHAPES, *_to_cm(locs, attn), 128, True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_pallas_cm_fk_matches_gather_interpret(rng):
+    """Multi-level fused-K forward (block-diagonal stage dots, the last
+    structural lever named in PROFILE.md round-4) vs the gather oracle,
+    incl. OOB sampling.  Bench A/B: scripts/bench_msda_kernel.py
+    --variants cm fk."""
+    from ocpg_tpu.ops.ms_deform_attn_pallas import ms_deform_attn_pallas_cm_fk
+
+    value, locs, attn = _inputs(rng)
+    expected = ms_deform_attn(value, SHAPES, locs, attn)
+    got = ms_deform_attn_pallas_cm_fk(value, SHAPES, *_to_cm(locs, attn), 128, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-2, atol=2e-2)
