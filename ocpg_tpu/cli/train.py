@@ -41,7 +41,8 @@ def get_args():
     p.add_argument("--resume", default=None)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--tokenizer_path", default=None)
-    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--num_workers", type=int, default=None,
+                   help="loader decode threads; default = min(4, host cores)")
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--profile_dir", default=None,
                    help="capture a jax.profiler device trace of steps 10-14")
@@ -139,12 +140,19 @@ def main():
     loader = ClipLoader(dataset, cfg.batch_size * jax.device_count(),
                         tokenizer=tokenizer, train=True, seed=cfg.seed,
                         canvas=tuple(args.canvas) if args.canvas else None,
-                        num_workers=args.num_workers)
+                        num_workers=args.num_workers,
+                        # compact wire format: uint8 frames + f16 heatmaps,
+                        # normalization on device (loader.decompress_batch)
+                        compact=True)
 
     model, _, criterion_cfg, weight_dict = build_model(cfg)
 
-    # init on a host batch
-    host = next(iter(loader.epoch(0)))
+    # init on a host batch (decompressed from the compact wire format)
+    from ..data.loader import decompress_batch
+
+    host_raw = next(iter(loader.epoch(0)))
+    host = dict(host_raw)
+    host.update(jax.device_get(decompress_batch(host_raw)))
     params = model.init(
         jax.random.PRNGKey(cfg.seed),
         jnp.asarray(host["samples"]), jnp.asarray(host["samples_mask"]),

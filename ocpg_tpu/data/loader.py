@@ -33,9 +33,10 @@ class ClipLoader:
         seed: int = 42,
         shard_index: int = 0,
         shard_count: int = 1,
-        num_workers: int = 4,
+        num_workers: Optional[int] = None,
         max_text_len: int = 32,
         text_vocab: Optional[int] = None,
+        compact: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -44,7 +45,20 @@ class ClipLoader:
         self.seed = seed
         self.shard_index = shard_index
         self.shard_count = shard_count
+        if num_workers is None:
+            # Decode threads beyond the physical core count make throughput
+            # WORSE (measured on a 1-core host: 4 workers = 1315 ms/batch vs
+            # 493 ms with 1 — oversubscription thrash, scripts/bench_loader).
+            # Cap at cores, and at 4 (the reference DataLoader default,
+            # /root/reference/main.py:197).
+            import os
+
+            num_workers = max(1, min(4, os.cpu_count() or 1))
         self.num_workers = num_workers
+        # compact wire format: uint8 frames/masks + f16 heatmaps, ImageNet
+        # normalization moved on-device (decompress_batch) — ~3x fewer
+        # host->device bytes per batch
+        self.compact = compact
         if tokenizer is None:
             # A default-vocab (50265) hash tokenizer paired with a smaller
             # cfg.text_vocab would emit out-of-range ids -> NaN embeddings
@@ -67,7 +81,10 @@ class ClipLoader:
             # the worker's seeded rng drives the transforms too — otherwise
             # they'd fall back to the global `random` module (thread-shared,
             # run-to-run nondeterministic)
-            clip = train_transform(clip, rng=rng) if self.train else val_transform(clip)
+            clip = (train_transform(clip, rng=rng,
+                                    normalize_images=not self.compact)
+                    if self.train else
+                    val_transform(clip, normalize_images=not self.compact))
             # fit-to-canvas guard: the transform's shorter-side scales cap the
             # LONGER side at max_size (reference transforms_video semantics),
             # so a portrait-aspect crop can exceed the canvas height (e.g.
@@ -81,7 +98,7 @@ class ClipLoader:
                 clip = _resize_clip(
                     clip, (max(1, int(h * scale)), max(1, int(w * scale))))
             if clip.valid.any() or not self.train:
-                entry = pad_to_canvas(clip, self.canvas)
+                entry = pad_to_canvas(clip, self.canvas, compact=self.compact)
                 entry["targets"]["orig_size"] = np.asarray(orig_size, np.int32)
                 if orig_masks is not None:
                     # native-resolution GT for eval (the reference scores
@@ -192,3 +209,29 @@ class ClipLoader:
         if "orig_masks" in entries[0]:
             batch["orig_masks"] = [e["orig_masks"] for e in entries]  # ragged
         return batch
+
+
+def decompress_batch(batch):
+    """Jit-safe inverse of the compact wire format (pad_to_canvas
+    compact=True): uint8 RGB -> ImageNet-normalized f32 with the canvas
+    padding re-zeroed IN NORMALIZED SPACE (the reference's NestedTensor pads
+    zeros after normalization, util/misc.py:354-379), binary uint8 maps and
+    f16 heatmaps -> f32.  A no-op on an already-f32 batch (dtype checks are
+    trace-time), so the train step applies it unconditionally.
+    """
+    import jax.numpy as jnp
+
+    from .transforms import IMAGENET_MEAN, IMAGENET_STD
+
+    b = dict(batch)
+    t = dict(b["targets"])
+    s = b["samples"]
+    if s.dtype == jnp.uint8:
+        x = s.astype(jnp.float32) / 255.0
+        x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+        b["samples"] = jnp.where(b["samples_mask"][..., None], 0.0, x)
+    for k in ("masks", "weights", "weak_masks"):
+        if k in t and t[k].dtype != jnp.float32:
+            t[k] = t[k].astype(jnp.float32)
+    b["targets"] = t
+    return b

@@ -81,6 +81,11 @@ def make_train_step(
         return total, losses
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, Array]]:
+        from ..data.loader import decompress_batch
+
+        # compact-wire batches (uint8 frames / f16 heatmaps) expand on device
+        # — no-op for f32 batches (see loader.decompress_batch)
+        batch = decompress_batch(batch)
         rng, dropout_rng = jax.random.split(state.rng)
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, state.step, dropout_rng

@@ -64,9 +64,12 @@ def run_e2e(args, cfg, model, criterion_cfg, weight_dict):
         dataset = build_dataset("ytvos", root, "train", args.frames, "box")
         loader = ClipLoader(dataset, args.batch, canvas=(args.height, args.width),
                             train=True, num_workers=args.e2e_workers,
-                            text_vocab=cfg.text_vocab)
+                            text_vocab=cfg.text_vocab, compact=True)
 
-        host = next(iter(loader.epoch(0)))
+        from ocpg_tpu.data.loader import decompress_batch
+
+        host_raw = next(iter(loader.epoch(0)))
+        host = jax.device_get(decompress_batch(host_raw))
         params = jax.jit(lambda: model.init(
             jax.random.PRNGKey(0),
             host["samples"], host["samples_mask"],
@@ -100,7 +103,7 @@ def run_e2e(args, cfg, model, criterion_cfg, weight_dict):
         e2e_ms = (time.perf_counter() - t0) / args.e2e * 1000
 
         # device-bound floor: same jitted step, resident batch, async dispatch
-        resident = shard_batch(mesh, host)
+        resident = shard_batch(mesh, host_raw)
         state, metrics = step_fn(state, resident)
         jax.block_until_ready(metrics["loss"])
         n_res = min(args.e2e, 50)
@@ -121,6 +124,8 @@ def run_e2e(args, cfg, model, criterion_cfg, weight_dict):
             "loader_workers": args.e2e_workers,
             "host_cores": os.cpu_count(),
             "prefetch": "double-buffered device_put (prefetch_to_mesh)",
+            "wire_format": "compact (uint8 frames + u8 masks + f16 heatmaps, "
+                           "on-device normalize)",
         }
         out_path = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "E2E_TRAIN_TPU.json")

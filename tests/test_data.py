@@ -412,3 +412,39 @@ def test_joint_registry(ytvos_root, tmp_path_factory):
 
     with pytest.raises(ValueError):
         build_dataset("joint", str(ytvos_root), "train", 3, "full")
+
+
+def test_compact_wire_roundtrip(ytvos_root):
+    """Compact wire batches (uint8 frames, u8 masks, f16 heatmaps) must
+    decompress on device to the f32 pipeline's output: exact for the binary
+    maps, <=0.5/255 pixel rounding for frames, ~f16 eps for heatmaps."""
+    import jax
+
+    from ocpg_tpu.data.datasets import YTVOSDataset
+    from ocpg_tpu.data.loader import ClipLoader, decompress_batch
+
+    ds = YTVOSDataset(str(ytvos_root), num_frames=3, supervision="box")
+    kw = dict(batch_size=2, canvas=(512, 640), train=True, num_workers=1,
+              seed=7, text_vocab=50265)
+    ref = next(iter(ClipLoader(ds, **kw).epoch(0)))
+    raw = next(iter(ClipLoader(ds, compact=True, **kw).epoch(0)))
+
+    assert raw["samples"].dtype == np.uint8
+    assert raw["targets"]["masks"].dtype == np.uint8
+    assert raw["targets"]["weights"].dtype == np.float16
+    got = jax.device_get(decompress_batch(raw))
+    assert got["samples"].dtype == np.float32
+
+    # frames: rounding of interpolated pixels, <= (0.5/255)/min(std)
+    np.testing.assert_allclose(got["samples"], ref["samples"], atol=0.01)
+    # padded region re-zeroed in normalized space (NestedTensor semantics)
+    pad = ref["samples_mask"]
+    np.testing.assert_array_equal(got["samples"][pad], 0.0)
+    np.testing.assert_array_equal(got["targets"]["masks"],
+                                  ref["targets"]["masks"])
+    np.testing.assert_array_equal(got["targets"]["weak_masks"],
+                                  ref["targets"]["weak_masks"])
+    np.testing.assert_allclose(got["targets"]["weights"],
+                               ref["targets"]["weights"], atol=1e-3)
+    np.testing.assert_array_equal(got["targets"]["boxes"],
+                                  ref["targets"]["boxes"])
