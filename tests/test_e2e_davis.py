@@ -89,6 +89,7 @@ def test_scorer_perfect_on_gt(davis_tree):
     assert len(metrics["J"]["M_per_object"]) == 4     # 2 videos x 2 objects
 
 
+@pytest.mark.slow
 def test_infer_then_eval_cli(davis_tree, tmp_path, monkeypatch):
     from ocpg_tpu.cli import eval_davis as eval_cli
     from ocpg_tpu.cli import infer_davis as infer_cli

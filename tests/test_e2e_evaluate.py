@@ -69,6 +69,7 @@ def a2d_val_root(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_evaluate_cli(a2d_val_root, monkeypatch):
     from ocpg_tpu.cli import evaluate as cli
 

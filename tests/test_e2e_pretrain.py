@@ -59,6 +59,7 @@ def refcoco_tree(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_pretrain_cli(refcoco_tree, tmp_path, monkeypatch):
     from ocpg_tpu.cli import pretrain as cli
 

@@ -78,6 +78,7 @@ def _run_train_cli(monkeypatch, ytvos_train_tree, out_dir, epochs, resume=None):
     train_cli.main()
 
 
+@pytest.mark.slow
 def test_train_cli_and_resume(ytvos_train_tree, tmp_path, monkeypatch):
     import jax
 

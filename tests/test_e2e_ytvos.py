@@ -51,6 +51,7 @@ def ytvos_valid_tree(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_infer_ytvos_cli(ytvos_valid_tree, tmp_path, monkeypatch):
     from ocpg_tpu.cli import infer_ytvos as cli
 

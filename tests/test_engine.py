@@ -61,6 +61,7 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(restored.step) == 0
 
 
+@pytest.mark.slow
 def test_nonfinite_step_skips_update():
     """A NaN-loss batch must leave params AND opt_state bit-identical.
 
@@ -147,6 +148,7 @@ def test_refexp_metrics():
     assert out["P@1"] == 0.0 and out["P@5"] == 1.0
 
 
+@pytest.mark.slow
 def test_evaluate_refexp_loop_smoke():
     """RefCOCO eval loop end-to-end on a fake loader (pretrain eval path,
     reference main_pretrain.py:138-170 / engine.py:197-300)."""
@@ -202,6 +204,7 @@ def test_evaluate_refexp_loop_smoke():
         assert np.isfinite(out[key])
 
 
+@pytest.mark.slow
 def test_train_step_debug_images_output():
     """debug_images=True exposes the first sample's predicted map in metrics
     (feeds the periodic pred/target/weak dumps, reference engine.py:63-77)."""
