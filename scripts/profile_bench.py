@@ -219,7 +219,7 @@ def main():
 
     report = "\n".join(lines_out)
     print(report)
-    if args.out:
+    if args.out and args.out != "-":     # "-" = stdout only
         with open(args.out, "w") as f:
             f.write(f"# Bench profile — {args.backbone} {args.frames}f "
                     f"{args.height}x{args.width} bf16\n\n" + report + "\n")
