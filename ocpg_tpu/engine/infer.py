@@ -38,7 +38,11 @@ DEFAULT_BUCKETS: Tuple[Tuple[int, int], ...] = ((384, 640), (512, 640), (640, 51
 
 @dataclasses.dataclass
 class InferRequest:
-    frames: np.ndarray        # (t, h, w, 3) normalized float32, t <= clip_len
+    # (t, h, w, 3), t <= clip_len: either UN-normalized uint8 RGB (the
+    # compact wire — ImageNet normalization happens on device inside the
+    # jitted forward, 4x fewer host->device bytes) or already-normalized
+    # float32 (legacy; passed through untouched)
+    frames: np.ndarray
     text_ids: np.ndarray      # (Lt,) int32
     text_mask: np.ndarray     # (Lt,) int32
 
@@ -84,6 +88,14 @@ class ClipInferenceEngine:
             data = NamedSharding(self.mesh, P("data"))
 
             def fwd(params, samples, samples_mask, ids, attn, sizes):
+                if samples.dtype == jnp.uint8:
+                    # compact wire: normalize on device, re-zero the canvas
+                    # padding in normalized space (NestedTensor semantics)
+                    from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+                    x = samples.astype(jnp.float32) / 255.0
+                    x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+                    samples = jnp.where(samples_mask[..., None], 0.0, x)
                 out = self.model.apply(params, samples, samples_mask, ids,
                                        attn, sizes, train=False)
                 return out["pred_masks"]          # (B, T, 1|Q, H, W) logits
@@ -113,7 +125,8 @@ class ClipInferenceEngine:
             for base in range(0, len(idxs), self.slots):
                 group = idxs[base:base + self.slots]
                 pad_b = self.slots - len(group)
-                samples = np.zeros((self.slots, self.clip_len, bh, bw, 3), np.float32)
+                samples = np.zeros((self.slots, self.clip_len, bh, bw, 3),
+                                   requests[group[0]].frames.dtype)
                 mask = np.ones((self.slots, self.clip_len, bh, bw), bool)
                 lt = requests[group[0]].text_ids.shape[-1]
                 ids = np.full((self.slots, lt), 1, np.int32)

@@ -189,7 +189,8 @@ def _torch_davis_pipeline(replica, tokenizer, root, out_dir, clip_len,
     import torch
     import torch.nn.functional as F
 
-    from ocpg_tpu.cli.infer_davis import load_frames, merge_annotator_masks
+    from ocpg_tpu.cli.infer_davis import (load_frames, merge_annotator_masks,
+                                          normalize_frames)
 
     with open(root / "meta_expressions" / "valid" / "meta_expressions.json") as f:
         data = json.load(f)["videos"]
@@ -215,6 +216,7 @@ def _torch_davis_pipeline(replica, tokenizer, root, out_dir, clip_len,
                 for clip_names in chunks:
                     imgs, origin_size = load_frames(
                         img_folder, video, clip_names, resize, max_size)
+                    imgs = normalize_frames(imgs)   # torch consumes f32
                     t, h, w = imgs.shape[:3]
                     samples = torch.from_numpy(
                         imgs.transpose(0, 3, 1, 2))[None]        # (1,T,3,H,W)
