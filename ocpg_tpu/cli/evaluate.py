@@ -52,7 +52,8 @@ def main():
                         tokenizer=SimpleTokenizer(args.tokenizer_path,
                                                   vocab_size=cfg.text_vocab),
                         train=False,
-                        canvas=tuple(args.canvas) if args.canvas else None)
+                        canvas=tuple(args.canvas) if args.canvas else None,
+                        compact=True)   # uint8 wire; normalize on device
 
     model, *_ = build_model(cfg)
     host = next(iter(loader.epoch(0)))

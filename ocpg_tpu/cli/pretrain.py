@@ -88,10 +88,12 @@ def main():
     canvas = tuple(args.canvas) if args.canvas else None
     loader = ClipLoader(dataset, cfg.batch_size * jax.device_count(),
                         tokenizer=tokenizer, train=True, seed=cfg.seed,
-                        canvas=canvas)
+                        canvas=canvas, compact=True)
 
     model, _, criterion_cfg, weight_dict = build_model(cfg)
-    host = next(iter(loader.epoch(0)))
+    from ..data.loader import decompress_batch
+
+    host = jax.device_get(decompress_batch(next(iter(loader.epoch(0)))))
     params = model.init(
         jax.random.PRNGKey(cfg.seed),
         jnp.asarray(host["samples"]), jnp.asarray(host["samples_mask"]),
@@ -140,7 +142,7 @@ def main():
             # with P('data') divides evenly; tail padding keeps shapes static.
             val_loader = ClipLoader(val_ds, args.eval_batch_size * jax.device_count(),
                                     tokenizer=tokenizer, train=False,
-                                    seed=cfg.seed, canvas=canvas)
+                                    seed=cfg.seed, canvas=canvas, compact=True)
             stats = evaluate_refexp_loop(eval_model, params_now, val_loader)
             record.update({f"{n}_{k}": v for k, v in stats.items()})
             tb.scalars(int(jax.device_get(state.step)),

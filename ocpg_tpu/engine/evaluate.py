@@ -35,6 +35,17 @@ def _eval_forward(model, params, outputs, mesh=None):
     params = jax.device_put(params, repl)
 
     def fwd(params, *args):
+        import jax.numpy as jnp
+
+        samples, samples_mask = args[0], args[1]
+        if samples.dtype == jnp.uint8:
+            # compact wire (ClipLoader(compact=True)): normalize on device,
+            # padding re-zeroed in normalized space (see loader.decompress_batch)
+            from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+            x = samples.astype(jnp.float32) / 255.0
+            x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+            args = (jnp.where(samples_mask[..., None], 0.0, x),) + args[1:]
         # 6 trailing args means the last is valid_indices (a2d/jhmdb path)
         out = model.apply(params, *args[:-1], valid_indices=args[-1], train=False) \
             if len(args) == 6 else model.apply(params, *args, train=False)
