@@ -8,6 +8,11 @@ request to `engine.infer.ClipInferenceEngine`, which batches requests across
 the device mesh as ONE SPMD program with bucketed static canvases — at most
 len(buckets) XLA compiles for the whole split, all chips busy.
 
+The recipe default is `--buckets exact` — resized DAVIS val is essentially
+single-shape, so exact per-request /64-aligned canvases cost one XLA compile
+and carry the least padding (zero when the shape is /64-aligned); the
+'serving' bucket trio remains the knob for mixed-shape request pools.
+
 Flow per video (reference :164-271): expressions are interleaved over 4
 annotators (i = obj_id * 4 + anno_id); per object the model's best-query
 eval branch yields per-frame masks; per annotator the object masks are merged
@@ -55,15 +60,27 @@ def get_args():
     p.add_argument("--resize", type=int, default=360)
     p.add_argument("--max_size", type=int, default=640)
     p.add_argument("--tokenizer_path", default=None)
-    p.add_argument("--buckets", default="default",
-                   help="'default' (the 360p canvas buckets), 'exact' "
-                        "(per-request /64-aligned canvas — zero padding, "
-                        "bit-faithful to the reference's eager exact-shape "
-                        "inference, one XLA compile per distinct shape), or "
-                        "'H1xW1,H2xW2,...'.  Canvas padding perturbs "
-                        "GroupNorm statistics and the LFM FFT spectrum, so "
-                        "bucketed runs trade a small output perturbation for "
-                        "a bounded compile count (see PARITY.md)")
+    p.add_argument("--buckets", default="exact",
+                   help="'exact' (the default: per-request /64-aligned "
+                        "canvas — minimal padding, zero only when the "
+                        "resized shape is already a /64 multiple, e.g. "
+                        "real 360x640 still pads to 384x640; one XLA "
+                        "compile per distinct shape, which on the "
+                        "fixed-resolution DAVIS/YTVOS val splits is one "
+                        "program), 'serving' (the 360p canvas bucket trio "
+                        "— bounded compiles for mixed-shape request "
+                        "pools; 'default' is a deprecated alias), or "
+                        "'H1xW1,H2xW2,...' custom /64-multiple buckets.  "
+                        "Canvas padding perturbs GroupNorm statistics and "
+                        "the LFM FFT spectrum, so wider buckets trade a "
+                        "small output perturbation for fewer compiles "
+                        "(measured in PARITY.md)")
+    p.add_argument("--visualize", action="store_true",
+                   help="also save qualitative overlays (per-annotator "
+                        "object-mask blends + reference-point crosses) to "
+                        "<output_dir>/<split>_images.  The reference defines "
+                        "the helpers (inference_davis.py:295-323) but its "
+                        "loop never calls them; restored here")
     p.add_argument("--config_overrides", default=None,
                    help="JSON dict of OCPGConfig field overrides "
                         "(e.g. tiny models for smoke/e2e tests)")
@@ -74,6 +91,39 @@ def apply_overrides(cfg, args):
     from ..config import apply_config_overrides
 
     return apply_config_overrides(cfg, getattr(args, "config_overrides", None))
+
+
+def parse_buckets(spec: str):
+    """--buckets spec -> bucket tuple for ClipInferenceEngine.
+
+    'exact' -> () (pick_bucket falls back to the per-request /64-aligned
+    canvas); 'serving'/'default' -> the 360p bucket trio; otherwise a
+    validated 'H1xW1,...' list — every value must be a positive multiple of
+    64 or the model's integral feature-level shape assumption breaks deep
+    inside XLA compilation.
+    """
+    from ..engine.infer import DEFAULT_BUCKETS
+
+    if spec == "exact":
+        return ()
+    if spec in ("serving", "default"):
+        return DEFAULT_BUCKETS
+    buckets = []
+    for item in spec.split(","):
+        parts = item.split("x")
+        if len(parts) != 2:
+            raise SystemExit(
+                f"--buckets: malformed bucket {item!r} (expected HxW, e.g. 384x640)")
+        try:
+            h, w = int(parts[0]), int(parts[1])
+        except ValueError:
+            raise SystemExit(f"--buckets: non-integer bucket {item!r}")
+        if h <= 0 or w <= 0 or h % 64 or w % 64:
+            raise SystemExit(
+                f"--buckets: bucket {item!r} must be positive multiples of 64 "
+                "(feature levels downsample x64; other sizes fail in XLA)")
+        buckets.append((h, w))
+    return tuple(buckets)
 
 
 def load_frames(img_folder: Path, video: str, frame_names, resize, max_size):
@@ -114,16 +164,7 @@ def init_engine(cfg, args, example_frames, tokenizer):
     from ..engine.infer import ClipInferenceEngine
     from ..models import build_model
 
-    from ..engine.infer import DEFAULT_BUCKETS
-
-    spec = getattr(args, "buckets", "default")
-    if spec == "default":
-        buckets = DEFAULT_BUCKETS
-    elif spec == "exact":
-        buckets = ()          # pick_bucket falls back to the exact /64 canvas
-    else:
-        buckets = tuple(tuple(int(v) for v in b.split("x"))
-                        for b in spec.split(","))
+    buckets = parse_buckets(getattr(args, "buckets", "exact"))
 
     model, *_ = build_model(cfg)
     t, h, w = example_frames.shape[:3]
@@ -150,7 +191,8 @@ def init_engine(cfg, args, example_frames, tokenizer):
             params = load_params(args.checkpoint, params)
     return model, ClipInferenceEngine(
         model, params, clip_len=args.clip_len, buckets=buckets,
-        per_device_batch=getattr(args, "per_device_batch", 1))
+        per_device_batch=getattr(args, "per_device_batch", 1),
+        want_ref_points=getattr(args, "visualize", False))
 
 
 def main():
@@ -209,12 +251,23 @@ def main():
         results = engine.run(requests)
 
         # reassemble: per annotator x object, concatenate chunks; resize + sigmoid
-        per = {}
-        for (anno_id, obj_id, ci), m in zip(meta, results):
+        per, per_refs = {}, {}
+        for k, ((anno_id, obj_id, ci), m) in enumerate(zip(meta, results)):
             m = np.asarray(bilinear_resize(jnp.asarray(m[..., None]),
                                            tuple(origin_size),
                                            align_corners=False))[..., 0]
             per.setdefault((anno_id, obj_id), {})[ci] = 1.0 / (1.0 + np.exp(-m))
+            if args.visualize:
+                refs = engine.last_ref_points[k]              # (t, 2) xy
+                bh, bw = engine.last_canvas[k]
+                t, h, w = requests[k].frames.shape[:3]
+                per_refs.setdefault((anno_id, obj_id), {})[ci] = (
+                    refs * [bw / w, bh / h])
+
+        origin_frames = None
+        if args.visualize:
+            origin_frames = [read_rgb(img_folder / video / f"{name}.jpg")
+                             for name in frames]
 
         for anno_id in range(4):
             anno_masks = [
@@ -232,6 +285,30 @@ def main():
                 # original frame names — the scorer looks results up by the
                 # GT frame id (davis_eval reads f"{fid}.png")
                 img.save(out_dir / f"{frames[fi]}.png")
+
+            if args.visualize:
+                from PIL import ImageDraw
+
+                from ..utils.visualize import (COLORS, draw_reference_points,
+                                               vis_add_mask)
+
+                vis_dir = (Path(args.output_dir) / f"{args.split}_images"
+                           / f"anno_{anno_id}" / video)
+                vis_dir.mkdir(parents=True, exist_ok=True)
+                for fi in range(merged.shape[0]):
+                    blend = origin_frames[fi]
+                    for o in range(num_obj):
+                        blend = vis_add_mask(blend, merged[fi] == o + 1,
+                                             COLORS[o % len(COLORS)])
+                    img = Image.fromarray(blend)
+                    draw = ImageDraw.Draw(img)
+                    for o in range(num_obj):
+                        refs = np.concatenate(
+                            [per_refs[(anno_id, o)][ci]
+                             for ci in range(len(chunks))], 0)
+                        draw_reference_points(draw, [tuple(refs[fi])],
+                                              img.size, COLORS[o % len(COLORS)])
+                    img.save(vis_dir / f"{frames[fi]}.png")
         print(f"done {video} ({len(requests)} clips, "
               f"{engine.compile_count} compiled programs)", flush=True)
 

@@ -35,8 +35,14 @@ def get_args():
     p.add_argument("--max_size", type=int, default=640)
     p.add_argument("--threshold", type=float, default=0.5)
     p.add_argument("--tokenizer_path", default=None)
-    p.add_argument("--buckets", default="default",
-                   help="'default', 'exact', or 'H1xW1,...' — see infer_davis")
+    p.add_argument("--buckets", default="exact",
+                   help="'exact' (default), 'serving', or 'H1xW1,...' — "
+                        "see infer_davis")
+    p.add_argument("--visualize", action="store_true",
+                   help="also save qualitative overlays (mask blend + "
+                        "reference-point cross) to <output_dir>/<split>_images "
+                        "(reference inference_ytvos.py:68-71; the snapshot "
+                        "defines but never calls the helpers — restored here)")
     p.add_argument("--config_overrides", default=None,
                    help="JSON dict of OCPGConfig field overrides")
     return p.parse_args()
@@ -48,6 +54,7 @@ def main():
     import jax.numpy as jnp
 
     from ..config import OCPGConfig
+    from ..data.imageio import read_rgb
     from ..engine.infer import InferRequest
     from ..models.text_encoder import SimpleTokenizer
     from ..ops.image import bilinear_resize
@@ -84,12 +91,19 @@ def main():
                 meta.append((exp_id, ci))
         results = engine.run(requests)
 
-        per = {}
-        for (exp_id, ci), m in zip(meta, results):
+        per, per_refs = {}, {}
+        for k, ((exp_id, ci), m) in enumerate(zip(meta, results)):
             m = np.asarray(bilinear_resize(jnp.asarray(m[..., None]),
                                            tuple(origin_size),
                                            align_corners=False))[..., 0]
             per.setdefault(exp_id, {})[ci] = (1.0 / (1.0 + np.exp(-m))) > args.threshold
+            if args.visualize:
+                # map canvas-normalized reference points onto the unpadded
+                # crop: the request occupies the first (h, w) of the canvas
+                refs = engine.last_ref_points[k]              # (t, 2) xy
+                bh, bw = engine.last_canvas[k]
+                t, h, w = requests[k].frames.shape[:3]
+                per_refs.setdefault(exp_id, {})[ci] = refs * [bw / w, bh / h]
 
         for exp_id, by_chunk in per.items():
             video_masks = np.concatenate(
@@ -98,6 +112,23 @@ def main():
             out_dir.mkdir(parents=True, exist_ok=True)
             for name, frame_mask in zip(frames, video_masks):
                 Image.fromarray(frame_mask).save(out_dir / f"{name}.png")
+
+        if args.visualize:
+            from ..utils.visualize import COLORS, save_overlay
+
+            origin_frames = {name: read_rgb(img_folder / video / f"{name}.jpg")
+                             for name in frames}
+            for ei, (exp_id, by_chunk) in enumerate(per.items()):
+                masks = np.concatenate(
+                    [by_chunk[ci] for ci in range(len(chunks))], 0)
+                refs = np.concatenate(
+                    [per_refs[exp_id][ci] for ci in range(len(chunks))], 0)
+                vis_dir = Path(args.output_dir) / f"{args.split}_images" / video / exp_id
+                vis_dir.mkdir(parents=True, exist_ok=True)
+                color = COLORS[ei % len(COLORS)]
+                for fi, name in enumerate(frames):
+                    save_overlay(vis_dir / f"{name}.png", origin_frames[name],
+                                 masks[fi], color, tuple(refs[fi]))
         print(f"done {video} ({len(requests)} clips, "
               f"{engine.compile_count} compiled programs)", flush=True)
 

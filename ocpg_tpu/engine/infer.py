@@ -12,6 +12,15 @@ Replaces the reference's inference parallelism and dynamic shapes:
     canvas BUCKETS and a fixed chunk length, so the whole split compiles at
     most `len(buckets)` programs.
 
+The dispatch loop is double-buffered: JAX dispatch is asynchronous, so the
+engine keeps up to `pipeline_depth` groups in flight — while group i computes
+on the devices, the host assembles + uploads group i+1 and reads back group
+i-1.  The reference hides the same latency with one OS process per GPU
+(inference_davis.py:97-109); here it is one process, one pipeline.  The
+readback is also compact: the jitted forward casts the full-canvas logits to
+f16 on device (`out_dtype`), halving device->host bytes per group; consumers
+get f32 after the host-side crop to the request's true (t, h, w).
+
 Usage:
     engine = ClipInferenceEngine(model, params, clip_len=36)
     results = engine.run(requests)     # list[InferRequest] -> list[np (t,h,w)]
@@ -19,6 +28,7 @@ Usage:
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -63,10 +73,23 @@ class ClipInferenceEngine:
     def __init__(self, model, params, mesh: Optional[Mesh] = None,
                  clip_len: int = 36,
                  buckets: Sequence[Tuple[int, int]] = DEFAULT_BUCKETS,
-                 per_device_batch: int = 1):
+                 per_device_batch: int = 1,
+                 out_dtype=jnp.float16,
+                 pipeline_depth: int = 2,
+                 want_ref_points: bool = False):
         self.model = model
         self.clip_len = clip_len
         self.buckets = tuple(buckets)
+        # f16 halves the device->host readback (logits are O(10), far inside
+        # f16 range; sigmoid(f16 logit) deviates <1e-3 from f32 — PROFILE.md
+        # round-11).  Pass jnp.float32 for bit-parity with direct forwards.
+        self.out_dtype = out_dtype
+        # in-flight dispatch groups; 1 disables overlap (old behavior)
+        self.pipeline_depth = max(1, pipeline_depth)
+        # also read back the model's per-frame reference points (normalized
+        # x, y) for `--visualize` overlays; exposed as self.last_ref_points
+        self.want_ref_points = want_ref_points
+        self.last_ref_points: List[Optional[np.ndarray]] = []
         if mesh is None:
             mesh = Mesh(np.asarray(jax.devices()), ("data",))
         self.mesh = mesh
@@ -98,66 +121,113 @@ class ClipInferenceEngine:
                     samples = jnp.where(samples_mask[..., None], 0.0, x)
                 out = self.model.apply(params, samples, samples_mask, ids,
                                        attn, sizes, train=False)
-                return out["pred_masks"]          # (B, T, 1|Q, H, W) logits
+                # compact readback wire: cast on device, halve the bytes down
+                masks = out["pred_masks"].astype(self.out_dtype)  # (B,T,1|Q,H,W)
+                if self.want_ref_points:
+                    return masks, out["reference_points"]         # (B,T,1,2)
+                return masks
 
             self._fns[bucket] = jax.jit(
                 fwd,
                 in_shardings=(repl, data, data, data, data, data),
-                out_shardings=data,
+                out_shardings=(data, data) if self.want_ref_points else data,
             )
         return self._fns[bucket]
 
     # -- request batching ---------------------------------------------------
+    def _dispatch(self, requests, bucket, group):
+        """Assemble + upload one group and dispatch its (async) forward."""
+        bh, bw = bucket
+        samples = np.zeros((self.slots, self.clip_len, bh, bw, 3),
+                           requests[group[0]].frames.dtype)
+        mask = np.ones((self.slots, self.clip_len, bh, bw), bool)
+        lt = requests[group[0]].text_ids.shape[-1]
+        ids = np.full((self.slots, lt), 1, np.int32)
+        ids[:, 0] = 0
+        attn = np.zeros((self.slots, lt), np.int32)
+        attn[:, 0] = 1
+        sizes = np.ones((self.slots, 2), np.int32)
+        for j, ridx in enumerate(group):
+            r = requests[ridx]
+            t, h, w = r.frames.shape[:3]
+            samples[j, :t, :h, :w] = r.frames
+            mask[j, :t, :h, :w] = False
+            ids[j] = r.text_ids
+            attn[j] = r.text_mask
+            sizes[j] = (h, w)
+        fn = self._fn(bucket)
+        with self.mesh:
+            out = fn(
+                self.params,
+                jax.device_put(jnp.asarray(samples), self._batch_shard(samples)),
+                jax.device_put(jnp.asarray(mask), self._batch_shard(mask)),
+                jax.device_put(jnp.asarray(ids), self._batch_shard(ids)),
+                jax.device_put(jnp.asarray(attn), self._batch_shard(attn)),
+                jax.device_put(jnp.asarray(sizes), self._batch_shard(sizes)),
+            )
+        self.n_batches += 1
+        return out
+
     def run(self, requests: Sequence[InferRequest],
             progress: Optional[callable] = None) -> List[np.ndarray]:
-        """Returns, per request, the (t, h, w) best-query mask logits cropped
-        to the request's true frame count and resolution."""
+        """Returns, per request, the (t, h, w) best-query mask logits (f32)
+        cropped to the request's true frame count and resolution.
+
+        Up to `pipeline_depth` groups are kept in flight: the np.asarray
+        readback of group i-1 happens only after group i has been uploaded
+        and dispatched, so host assembly + transfer overlap device compute.
+        """
+        if not requests:
+            return []
+        # All requests in one run() must share a frames dtype: a mixed
+        # f32/uint8 pool would silently truncate f32 frames into the uint8
+        # group buffer (advisor round-3).
+        wire_dtype = requests[0].frames.dtype
+        for i, r in enumerate(requests):
+            assert r.frames.dtype == wire_dtype, (
+                f"request {i} frames dtype {r.frames.dtype} != {wire_dtype}; "
+                "mix of compact-uint8 and normalized-f32 requests in one run()")
+
         order: Dict[Tuple[int, int], List[int]] = {}
         for i, r in enumerate(requests):
-            t, h, w = r.frames.shape[:3]
+            t = r.frames.shape[0]
             assert t <= self.clip_len, (t, self.clip_len)
+            h, w = r.frames.shape[1:3]
             order.setdefault(pick_bucket(h, w, self.buckets), []).append(i)
+        groups: List[Tuple[Tuple[int, int], List[int]]] = []
+        for bucket, idxs in order.items():
+            for base in range(0, len(idxs), self.slots):
+                groups.append((bucket, idxs[base:base + self.slots]))
 
         results: List[Optional[np.ndarray]] = [None] * len(requests)
-        for bucket, idxs in order.items():
-            bh, bw = bucket
-            fn = self._fn(bucket)
-            for base in range(0, len(idxs), self.slots):
-                group = idxs[base:base + self.slots]
-                pad_b = self.slots - len(group)
-                samples = np.zeros((self.slots, self.clip_len, bh, bw, 3),
-                                   requests[group[0]].frames.dtype)
-                mask = np.ones((self.slots, self.clip_len, bh, bw), bool)
-                lt = requests[group[0]].text_ids.shape[-1]
-                ids = np.full((self.slots, lt), 1, np.int32)
-                ids[:, 0] = 0
-                attn = np.zeros((self.slots, lt), np.int32)
-                attn[:, 0] = 1
-                sizes = np.ones((self.slots, 2), np.int32)
-                for j, ridx in enumerate(group):
-                    r = requests[ridx]
-                    t, h, w = r.frames.shape[:3]
-                    samples[j, :t, :h, :w] = r.frames
-                    mask[j, :t, :h, :w] = False
-                    ids[j] = r.text_ids
-                    attn[j] = r.text_mask
-                    sizes[j] = (h, w)
-                with self.mesh:
-                    out = fn(
-                        self.params,
-                        jax.device_put(jnp.asarray(samples), self._batch_shard(samples)),
-                        jax.device_put(jnp.asarray(mask), self._batch_shard(mask)),
-                        jax.device_put(jnp.asarray(ids), self._batch_shard(ids)),
-                        jax.device_put(jnp.asarray(attn), self._batch_shard(attn)),
-                        jax.device_put(jnp.asarray(sizes), self._batch_shard(sizes)),
-                    )
-                out = np.asarray(out)
-                self.n_batches += 1
-                for j, ridx in enumerate(group):
-                    t, h, w = requests[ridx].frames.shape[:3]
-                    results[ridx] = out[j, :t, 0, :h, :w]
-                if progress is not None:
-                    progress(len(group))
+        self.last_ref_points = [None] * len(requests)
+        # per-request canvas, so consumers can map canvas-normalized model
+        # coordinates (e.g. reference points) onto the unpadded crop
+        self.last_canvas: List[Optional[Tuple[int, int]]] = [None] * len(requests)
+
+        def drain(group, out):
+            refs = None
+            if self.want_ref_points:
+                out, refs = out
+                refs = np.asarray(refs)
+            out = np.asarray(out)                 # blocks on this group only
+            for j, ridx in enumerate(group):
+                t, h, w = requests[ridx].frames.shape[:3]
+                results[ridx] = out[j, :t, 0, :h, :w].astype(np.float32)
+                if refs is not None:
+                    self.last_ref_points[ridx] = refs[j, :t, 0]   # (t, 2) xy
+            if progress is not None:
+                progress(len(group))
+
+        inflight = collections.deque()
+        for bucket, group in groups:
+            for ridx in group:
+                self.last_canvas[ridx] = bucket
+            inflight.append((group, self._dispatch(requests, bucket, group)))
+            if len(inflight) >= self.pipeline_depth:
+                drain(*inflight.popleft())
+        while inflight:
+            drain(*inflight.popleft())
         return results  # type: ignore[return-value]
 
     @property

@@ -5,4 +5,4 @@ set -ex
 DATA_ROOT=${DATA_ROOT:-/data/ref-youtube-vos}
 CKPT=${CKPT:-output/checkpoints}
 python -m ocpg_tpu.cli.infer_ytvos --ytvos_path "$DATA_ROOT" --checkpoint "$CKPT" \
-  --backbone video_swin_b_p4w7 --output_dir output/ytvos_swinb
+  --backbone video_swin_b_p4w7 --output_dir output/ytvos_swinb --buckets exact

@@ -101,9 +101,19 @@ def test_infer_then_eval_cli(davis_tree, tmp_path, monkeypatch):
         "--backbone", "resnet50", "--split", "valid",
         "--clip_len", "3",                      # 4 frames -> 2 chunks: merge path
         "--resize", "48", "--max_size", "64",
+        "--visualize",
         "--config_overrides", json.dumps(TINY_CFG),
     ])
     infer_cli.main()
+
+    # --visualize: per-annotator RGB overlays exist at full resolution
+    for anno_id in range(4):
+        for video in VIDEOS:
+            for name in FRAMES:
+                v = out_dir / "valid_images" / f"anno_{anno_id}" / video / f"{name}.png"
+                assert v.exists(), v
+                vimg = Image.open(v)
+                assert vimg.mode == "RGB" and vimg.size == (W, H)
 
     # every (annotator, video, frame) palette PNG exists under the GT name
     total_fg = 0
@@ -329,7 +339,7 @@ def test_cross_stack_pipeline_parity(davis_tree, tmp_path, monkeypatch):
     # random weights make every pixel a near-tie, so this measures the
     # WORST-case padding sensitivity, not typical accuracy (see PARITY.md).
     jax_bucketed = tmp_path / "jax_bucketed"
-    run_jax(jax_bucketed, "default")
+    run_jax(jax_bucketed, "serving")
     px_bucketed = pixel_disagreement(jax_bucketed / "valid")
     jf_bucketed = mean_jf(jax_bucketed / "valid")
     delta_bucketed = abs(jf_bucketed - jf_torch)
@@ -366,8 +376,10 @@ def test_cross_stack_pipeline_parity(davis_tree, tmp_path, monkeypatch):
             "note": "full-pipeline (chunk/best-query/merge/PNG) parity on the "
                     "synthetic mini-DAVIS tree, randomized converted weights, "
                     "official _seg2bmap+disk scorer.  'exact' = per-request "
-                    "exact canvas (reference semantics); 'bucketed' = 2.7x "
-                    "canvas padding with random weights — worst-case padding "
+                    "/64-aligned canvas — the RECIPE DEFAULT since round 4 "
+                    "(scripts/test_davis.sh passes --buckets exact); "
+                    "'bucketed' = the --buckets serving trio at 2.7x canvas "
+                    "padding with random weights — worst-case padding "
                     "sensitivity, every pixel a near-tie",
         }
         out = Path(os.environ["OCPG_WRITE_PIPELINE_PARITY"])

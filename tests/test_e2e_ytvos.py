@@ -62,9 +62,19 @@ def test_infer_ytvos_cli(ytvos_valid_tree, tmp_path, monkeypatch):
         "--backbone", "resnet50", "--split", "valid",
         "--clip_len", "3",                      # 4 frames -> 2 chunks: merge path
         "--resize", "48", "--max_size", "64",
+        "--visualize",
         "--config_overrides", json.dumps(TINY_CFG),
     ])
     cli.main()
+
+    # --visualize: per-expression RGB overlays exist at full resolution
+    for video in VIDEOS:
+        for exp_id in ("0", "1"):
+            for name in FRAMES:
+                v = out_dir / "valid_images" / video / exp_id / f"{name}.png"
+                assert v.exists(), v
+                vimg = Image.open(v)
+                assert vimg.mode == "RGB" and vimg.size == (W, H)
 
     total_fg = 0
     for video in VIDEOS:
