@@ -25,6 +25,18 @@ def get_args():
                             "joint", "joint_coco", "ytvos_joint_davis"])
     p.add_argument("--backbone", default="resnet101")
     p.add_argument("--supervision", default="box", choices=["full", "box", "point"])
+    p.add_argument("--supervision_type", default="boxsup",
+                   choices=["boxsup", "boxinst", "boxlevelset", "boxvos",
+                            "partialsup"],
+                   help="loss-suite variant.  The reference scripts pass "
+                        "this flag but it does not exist in opts.py (the "
+                        "boxinst/boxlevelset/boxvos recipes die in argparse "
+                        "upstream; the pairwise machinery is dead code, "
+                        "segmentation.py:358-500).  Here boxinst/boxvos "
+                        "additionally enable the BoxInst pairwise "
+                        "color-similarity losses (models/pairwise.py); "
+                        "boxsup/boxlevelset keep the default suite (the "
+                        "level-set loss is already always on, as upstream)")
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--lr", type=float, default=1e-4)
@@ -108,6 +120,7 @@ def main():
         freeze_text_encoder=not args.unfreeze_text_encoder,
         freeze_video_encoder=args.freeze_video_encoder,
         use_checkpoint=args.use_checkpoint,
+        pairwise_loss=args.supervision_type in ("boxinst", "boxvos"),
     )
     if args.epochs:
         cfg = cfg.replace(epochs=args.epochs)

@@ -68,6 +68,13 @@ class OCPGConfig:
     eos_coef: float = 0.1
     focal_alpha: float = 0.25
     lst_warmup_iters: int = 100_000  # criterion.py:43
+    # Opt-in BoxInst pairwise color-similarity loss (the reference ships the
+    # machinery as dead code — segmentation.py:358-500 imported by
+    # criterion.py:11 but only called from a __main__ playground, and the
+    # recipe flag `--supervision_type boxinst` doesn't parse upstream; see
+    # models/pairwise.py and PARITY.md "BoxInst pairwise").
+    pairwise_loss: bool = False
+    pairwise_loss_coef: float = 1.0
 
     # * Dataset (opts.py:113-132)
     dataset_file: str = "ytvos"

@@ -30,6 +30,9 @@ def build_weight_dict(cfg: OCPGConfig) -> Dict[str, float]:
             "loss_proj_low": cfg.proj_loss_coef,
             "loss_lst_low": cfg.lst_loss_coef,
         })
+        if cfg.pairwise_loss:
+            wd["loss_pairwise"] = cfg.pairwise_loss_coef
+            wd["loss_pairwise_neighbor"] = cfg.pairwise_loss_coef
     if cfg.aux_loss:
         aux = {}
         for i in range(cfg.dec_layers - 1):
@@ -67,5 +70,6 @@ def build_model(cfg: OCPGConfig) -> Tuple[OCPG, MatcherConfig, CriterionConfig, 
         num_classes=cfg.num_classes,
         focal_alpha=cfg.focal_alpha,
         lst_warmup_iters=cfg.lst_warmup_iters,
+        pairwise=cfg.pairwise_loss,
     )
     return model, matcher_cfg, criterion_cfg, build_weight_dict(cfg)

@@ -43,6 +43,8 @@ class CriterionConfig:
     lst_warmup_iters: int = 100_000
     mask_out_stride: int = 1       # criterion.py:40
     mask_out_stride_low: int = 2   # criterion.py:41
+    # opt-in BoxInst pairwise loss (models/pairwise.py; dead code upstream)
+    pairwise: bool = False
 
 
 def _bce_with_logits(logits: Array, targets: Array) -> Array:
@@ -272,7 +274,7 @@ def loss_masks(
     lst = levelset_loss(src_nchw, tgt_nchw, region_nchw)
     lst_low = levelset_loss(src_low_nchw, tgt_nchw, region_nchw)
 
-    return {
+    out = {
         "loss_proj": proj_loss(pred_masks.astype(jnp.float32), region, weak, with_mean_term=True),
         "loss_mask": (1.0 - warmup) * lm,
         "loss_lst": warmup * lst,
@@ -280,3 +282,13 @@ def loss_masks(
         "loss_mask_low": (1.0 - warmup) * lm_low,
         "loss_lst_low": warmup * lst_low,
     }
+    if cfg.pairwise:
+        # opt-in BoxInst pairwise terms at the 1/2-res mask scale; the color
+        # source is the ls_features image channels (normalized RGB at the
+        # same scale) — see models/pairwise.py for the upstream provenance
+        from .pairwise import pairwise_losses
+
+        out.update(pairwise_losses(
+            pred_masks_low.astype(jnp.float32), ls_features[..., :3],
+            region_low))
+    return out

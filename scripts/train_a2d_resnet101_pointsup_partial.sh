@@ -1,8 +1,12 @@
 #!/usr/bin/env bash
 # Counterpart of /root/reference/scripts/dist_train_a2d_resnet101_pointsup_partialsup.sh (torchrun -> one SPMD program).
+# NOTE: the reference passes --supervision_type but the flag does not exist in
+# opts.py (recipe dies in argparse upstream).  Here it parses; this value keeps
+# the default loss suite (level-set is always on, as upstream).  PARITY.md
+# "BoxInst pairwise" has the full ledger entry.
 set -ex
 DATA_ROOT=${DATA_ROOT:-/data/a2d}
 python -m ocpg_tpu.cli.train \
-  --dataset_file a2d --backbone resnet101 --supervision point \
+  --dataset_file a2d --backbone resnet101 --supervision point --supervision_type partialsup \
   --a2d_path "$DATA_ROOT" \
   --output_dir output/train_a2d_resnet101_pointsup_partial --epochs 12 --lr_drop 3 5

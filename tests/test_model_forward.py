@@ -92,6 +92,52 @@ def test_train_forward_and_criterion(model_and_batch):
         assert np.isfinite(float(losses[key])), key
 
 
+def test_criterion_with_pairwise_knob(model_and_batch):
+    """Opt-in BoxInst pairwise losses (models/pairwise.py): emitted for every
+    decoder layer, finite, neighbor term zero at T=2 (<3 frames), and the
+    gradient flows through the mask logits."""
+    import dataclasses
+
+    cfg, model, params, batch, criterion_cfg, weight_dict = model_and_batch
+    samples, mask, ids, tmask, sizes, targets = batch
+    out = model.apply(
+        params, jnp.asarray(samples), jnp.asarray(mask), jnp.asarray(ids),
+        jnp.asarray(tmask), jnp.asarray(sizes),
+        targets={k: jnp.asarray(v) for k, v in targets.items()},
+        train=True,
+    )
+    pcfg = dataclasses.replace(criterion_cfg, pairwise=True)
+    wd = dict(weight_dict)
+    wd["loss_pairwise"] = wd["loss_pairwise_neighbor"] = 1.0
+    jt = {k: jnp.asarray(v) for k, v in targets.items()}
+
+    def total_of(pml):
+        o = dict(out)
+        o["pred_masks_low_layers"] = pml
+        total, losses = compute_criterion(pcfg, wd, o, jt, jnp.asarray(0))
+        return total, losses
+
+    (total, losses), grads = jax.value_and_grad(total_of, has_aux=True)(
+        out["pred_masks_low_layers"])
+    for key in ("loss_pairwise", "loss_pairwise_0",
+                "loss_pairwise_neighbor", "loss_pairwise_neighbor_0"):
+        assert key in losses, key
+        assert np.isfinite(float(losses[key])), key
+    assert float(losses["loss_pairwise"]) > 0.0
+    assert float(losses["loss_pairwise_neighbor"]) == 0.0   # T=2 < 3
+    g = np.asarray(grads)
+    assert np.isfinite(g).all() and np.abs(g).sum() > 0
+
+    # the knob threads from OCPGConfig through build_model
+    from ocpg_tpu.models.build import build_weight_dict
+
+    cfg_on = cfg.replace(pairwise_loss=True)
+    wd_on = build_weight_dict(cfg_on)
+    assert "loss_pairwise" in wd_on and "loss_pairwise_neighbor" in wd_on
+    assert "loss_pairwise" not in build_weight_dict(cfg)
+    assert build_model(cfg_on)[2].pairwise is True
+
+
 def test_eval_forward_davis_branch(model_and_batch):
     cfg, model, params, batch, *_ = model_and_batch
     samples, mask, ids, tmask, sizes, _ = batch
