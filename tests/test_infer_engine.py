@@ -166,6 +166,27 @@ def test_engine_compact_uint8_wire_matches_f32(rng, tiny_engine):
     np.testing.assert_allclose(got_u8, got_f32, rtol=2e-3, atol=2e-3)
 
 
+def test_engine_ref_points_readback(rng, tiny_engine):
+    """want_ref_points=True (the --visualize path) also reads back the
+    model's per-frame normalized reference points and the per-request
+    canvas, without changing the mask results."""
+    model, params, engine = tiny_engine
+    e = ClipInferenceEngine(model, params, mesh=engine.mesh, clip_len=2,
+                            buckets=((64, 64),), want_ref_points=True)
+    lt = 8
+    ids = np.full((lt,), 1, np.int32)
+    ids[0] = 0
+    frames = rng.standard_normal((2, 56, 64, 3)).astype(np.float32)
+    req = InferRequest(frames, ids, np.ones((lt,), np.int32))
+    out = e.run([req])[0]
+    base = engine.run([req])[0]
+    np.testing.assert_allclose(out, base, rtol=2e-3, atol=2e-3)
+    refs = e.last_ref_points[0]
+    assert refs.shape == (2, 2)
+    assert np.all(refs >= 0.0) and np.all(refs <= 1.0)   # sigmoid coords
+    assert e.last_canvas[0] == (64, 64)
+
+
 def test_engine_rejects_mixed_wire_dtypes(rng, tiny_engine):
     """A mixed uint8/f32 request pool must fail loudly, not truncate f32
     frames into a uint8 group buffer (advisor round-3)."""
