@@ -158,6 +158,9 @@ def main():
                          "and writes E2E_TRAIN_TPU.json at the repo root "
                          "(reference: torch DataLoader feeding the GPU, "
                          "/root/reference/main.py:197-214).")
+    ap.add_argument("--json_out", default=None,
+                    help="append one JSON line with the measured point "
+                         "(used by the operating-point sweep)")
     ap.add_argument("--e2e_workers", type=int, default=4)
     ap.add_argument("--e2e_videos", type=int, default=4)
     ap.add_argument("--e2e_frames_per_video", type=int, default=24)
@@ -251,6 +254,18 @@ def main():
     state, losses = chained(state, batch, args.iters)
     float(losses[-1])
 
+    # XLA cost-model FLOPs of one unchained step -> train MFU companion
+    # (v5e peak 197 TFLOP/s bf16; HLO flops exclude the MSDA Pallas
+    # custom-call's internal work, so this slightly understates true MFU)
+    try:
+        ca = jax.jit(train_step).lower(state, batch).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops_per_step = float(ca.get("flops", 0.0))
+    except Exception as e:
+        print(f"cost_analysis unavailable: {e!r}", file=sys.stderr)
+        flops_per_step = 0.0
+
     def run_once(n_iters):
         nonlocal state, losses
         t0 = time.perf_counter()
@@ -266,9 +281,24 @@ def main():
         deltas.append((t_long - t_short) / (args.iters - args.iters_short))
     dt = max(sorted(deltas)[len(deltas) // 2], 1e-9)
     fps = args.batch * args.frames / dt
+    mfu = flops_per_step / dt / 197e12 if flops_per_step > 0 else 0.0
     print(f"train step: {dt*1e3:.1f} ms/step = {fps:.1f} train-frames/sec/chip "
-          f"({args.backbone}, {args.batch}x{args.frames}f "
+          f"(MFU {mfu:.3f}, {flops_per_step/1e9:.0f} GFLOP/step; "
+          f"{args.backbone}, {args.batch}x{args.frames}f "
           f"{args.height}x{args.width} bf16), last loss {float(losses[-1]):.3f}")
+    if args.json_out:
+        import json
+
+        rec = {
+            "backbone": args.backbone, "batch": args.batch,
+            "frames": args.frames, "height": args.height, "width": args.width,
+            "step_ms": round(dt * 1e3, 1),
+            "train_frames_per_sec_per_chip": round(fps, 2),
+            "train_mfu": round(mfu, 4),
+            "gflop_per_step": round(flops_per_step / 1e9, 1),
+        }
+        with open(args.json_out, "a") as f:
+            f.write(json.dumps(rec) + "\n")
 
     if args.trace:
         import glob
