@@ -18,12 +18,21 @@ from ..evaluation.rle import rle_encode
 from ..models.postprocessors import a2d_postprocess, refcoco_postprocess
 
 
-def _eval_forward(model, params, outputs, mesh=None):
+def _eval_forward(model, params, outputs, mesh=None, out_dtype="float16"):
     """Jitted eval forward sharded over a 1-D data mesh.
 
     The reference shards eval across GPUs via DDP + pickled all_gather
     (engine.py:126-194); here the batch axis shards over `mesh` as one SPMD
     program (single-device meshes are the degenerate no-op case).
+
+    Floating outputs are cast to `out_dtype` ON DEVICE before readback: the
+    a2d branch returns full-res all-query mask logits (B,T,Q,H,W), and the
+    f32 readback dominated the measured e2e eval loop (E2E_EVAL_TPU.json —
+    the device forward is 71 ms/clip, the f32 wire made the loop ~3.3 s/
+    clip on the tunneled host).  f16 halves that wire; logits are O(10), so
+    sigmoid/threshold downstream moves by <1e-3 (same analysis as the
+    serving engine's f16 readback, PROFILE.md round-12).  Pass
+    out_dtype=None for the bit-exact f32 wire.
     """
     import jax
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -49,7 +58,12 @@ def _eval_forward(model, params, outputs, mesh=None):
         # 6 trailing args means the last is valid_indices (a2d/jhmdb path)
         out = model.apply(params, *args[:-1], valid_indices=args[-1], train=False) \
             if len(args) == 6 else model.apply(params, *args, train=False)
-        return tuple(out[k] for k in outputs)
+        # compact readback wire: cast float outputs on device (see docstring)
+        def _cast(x):
+            if out_dtype is not None and jnp.issubdtype(x.dtype, jnp.floating):
+                return x.astype(out_dtype)
+            return x
+        return tuple(_cast(out[k]) for k in outputs)
 
     jitted = {}
 
@@ -98,8 +112,9 @@ def evaluate_a2d(model, params, loader, dataset_name: str = "a2d",
             batch["samples"], batch["samples_mask"],
             batch["text_ids"], batch["text_mask"],
             batch["targets"]["size"], vi)
-        logits = np.asarray(logits)
-        masks = np.asarray(masks)
+        # f16 wire -> f32 for the numpy postprocess (bilinear resize etc.)
+        logits = np.asarray(logits).astype(np.float32)
+        masks = np.asarray(masks).astype(np.float32)
         sizes = np.asarray(batch["targets"]["size"])
         # dataset-native resolutions: the reference resizes predictions to the
         # original size before RLE (postprocessors.py:31-40) and scores against
@@ -161,7 +176,8 @@ def evaluate_refexp_loop(model, params, loader, mesh=None) -> Dict[str, float]:
         logits, boxes, masks = forward(
             batch["samples"], batch["samples_mask"],
             batch["text_ids"], batch["text_mask"], batch["targets"]["size"])
-        logits, boxes, masks = map(np.asarray, (logits, boxes, masks))
+        logits, boxes, masks = (np.asarray(a).astype(np.float32)
+                                for a in (logits, boxes, masks))
         sizes = np.asarray(batch["targets"]["size"])
         orig_sizes = np.asarray(batch["targets"].get("orig_size", sizes))
         box_results = refcoco_postprocess(logits, boxes,

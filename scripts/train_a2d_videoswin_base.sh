@@ -1,5 +1,10 @@
 #!/usr/bin/env bash
 # Counterpart of /root/reference/scripts/dist_train_a2d_videoswinb.sh (torchrun -> one SPMD program).
+# Operating point: the reference trains at --batch_size 2/GPU; measured on v5e
+# the train step scales exactly linearly in batch (bs2 = 2.06x bs1 ms/step,
+# TRAIN_OPPOINTS.json / PROFILE.md round-11), so bs=1/chip is the measured-best
+# default — same throughput, half the latency and activation memory; scale by
+# adding data-parallel chips.
 set -ex
 DATA_ROOT=${DATA_ROOT:-/data/a2d}
 python -m ocpg_tpu.cli.train \
