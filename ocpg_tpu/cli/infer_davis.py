@@ -81,6 +81,12 @@ def get_args():
                         "<output_dir>/<split>_images.  The reference defines "
                         "the helpers (inference_davis.py:295-323) but its "
                         "loop never calls them; restored here")
+    p.add_argument("--readback", default="f16", choices=["f16", "f32"],
+                   help="mask-logit readback wire.  f16 (default) halves "
+                        "device->host bytes (~2.8x faster requests on the "
+                        "bench host, SERVING_TPU.json) and moves sigmoid "
+                        "scores by <1e-3; f32 is the bit-exact wire for "
+                        "parity work")
     p.add_argument("--config_overrides", default=None,
                    help="JSON dict of OCPGConfig field overrides "
                         "(e.g. tiny models for smoke/e2e tests)")
@@ -189,9 +195,14 @@ def init_engine(cfg, args, example_frames, tokenizer):
             from ..engine.checkpoint import load_params
 
             params = load_params(args.checkpoint, params)
+    import jax.numpy as _jnp
+
+    out_dtype = (_jnp.float32 if getattr(args, "readback", "f16") == "f32"
+                 else _jnp.float16)
     return model, ClipInferenceEngine(
         model, params, clip_len=args.clip_len, buckets=buckets,
         per_device_batch=getattr(args, "per_device_batch", 1),
+        out_dtype=out_dtype,
         want_ref_points=getattr(args, "visualize", False))
 
 
@@ -258,11 +269,13 @@ def main():
                                            align_corners=False))[..., 0]
             per.setdefault((anno_id, obj_id), {})[ci] = 1.0 / (1.0 + np.exp(-m))
             if args.visualize:
-                refs = engine.last_ref_points[k]              # (t, 2) xy
-                bh, bw = engine.last_canvas[k]
-                t, h, w = requests[k].frames.shape[:3]
+                # reference points are normalized to the VALID (unpadded)
+                # region — the model scales them by the actual sizes, not
+                # the canvas (ocpg.py scale_wh; deformable_transformer
+                # multiplies by valid_ratios only for sampling) — so they
+                # map directly onto the original frame
                 per_refs.setdefault((anno_id, obj_id), {})[ci] = (
-                    refs * [bw / w, bh / h])
+                    engine.last_ref_points[k])                # (t, 2) xy
 
         origin_frames = None
         if args.visualize:
@@ -295,6 +308,11 @@ def main():
                 vis_dir = (Path(args.output_dir) / f"{args.split}_images"
                            / f"anno_{anno_id}" / video)
                 vis_dir.mkdir(parents=True, exist_ok=True)
+                obj_refs = [
+                    np.concatenate([per_refs[(anno_id, o)][ci]
+                                    for ci in range(len(chunks))], 0)
+                    for o in range(num_obj)
+                ]
                 for fi in range(merged.shape[0]):
                     blend = origin_frames[fi]
                     for o in range(num_obj):
@@ -303,10 +321,7 @@ def main():
                     img = Image.fromarray(blend)
                     draw = ImageDraw.Draw(img)
                     for o in range(num_obj):
-                        refs = np.concatenate(
-                            [per_refs[(anno_id, o)][ci]
-                             for ci in range(len(chunks))], 0)
-                        draw_reference_points(draw, [tuple(refs[fi])],
+                        draw_reference_points(draw, [tuple(obj_refs[o][fi])],
                                               img.size, COLORS[o % len(COLORS)])
                     img.save(vis_dir / f"{frames[fi]}.png")
         print(f"done {video} ({len(requests)} clips, "

@@ -43,6 +43,8 @@ def get_args():
                         "reference-point cross) to <output_dir>/<split>_images "
                         "(reference inference_ytvos.py:68-71; the snapshot "
                         "defines but never calls the helpers — restored here)")
+    p.add_argument("--readback", default="f16", choices=["f16", "f32"],
+                   help="mask-logit readback wire — see infer_davis")
     p.add_argument("--config_overrides", default=None,
                    help="JSON dict of OCPGConfig field overrides")
     return p.parse_args()
@@ -98,12 +100,9 @@ def main():
                                            align_corners=False))[..., 0]
             per.setdefault(exp_id, {})[ci] = (1.0 / (1.0 + np.exp(-m))) > args.threshold
             if args.visualize:
-                # map canvas-normalized reference points onto the unpadded
-                # crop: the request occupies the first (h, w) of the canvas
-                refs = engine.last_ref_points[k]              # (t, 2) xy
-                bh, bw = engine.last_canvas[k]
-                t, h, w = requests[k].frames.shape[:3]
-                per_refs.setdefault(exp_id, {})[ci] = refs * [bw / w, bh / h]
+                # reference points are normalized to the VALID (unpadded)
+                # region (see infer_davis) — no canvas rescale needed
+                per_refs.setdefault(exp_id, {})[ci] = engine.last_ref_points[k]
 
         for exp_id, by_chunk in per.items():
             video_masks = np.concatenate(

@@ -25,14 +25,15 @@ def _eval_forward(model, params, outputs, mesh=None, out_dtype="float16"):
     (engine.py:126-194); here the batch axis shards over `mesh` as one SPMD
     program (single-device meshes are the degenerate no-op case).
 
-    Floating outputs are cast to `out_dtype` ON DEVICE before readback: the
-    a2d branch returns full-res all-query mask logits (B,T,Q,H,W), and the
-    f32 readback dominated the measured e2e eval loop (E2E_EVAL_TPU.json —
-    the device forward is 71 ms/clip, the f32 wire made the loop ~3.3 s/
-    clip on the tunneled host).  f16 halves that wire; logits are O(10), so
-    sigmoid/threshold downstream moves by <1e-3 (same analysis as the
-    serving engine's f16 readback, PROFILE.md round-12).  Pass
-    out_dtype=None for the bit-exact f32 wire.
+    `pred_masks` is cast to `out_dtype` ON DEVICE before readback: the a2d
+    branch returns full-res all-query mask logits (B,T,Q,H,W) and that f32
+    readback dominated the measured e2e eval wire (E2E_EVAL_TPU.json — the
+    device forward is 71 ms/clip; ~10 of the ~13 MB/clip moved is masks).
+    f16 halves it; mask logits are O(10), so sigmoid/threshold downstream
+    moves by <1e-3 (same analysis as the serving engine's f16 readback,
+    PROFILE.md round-12).  Other outputs (class logits, BOXES — whose
+    cxcywh coordinates feed IoU-threshold metrics and must not be
+    quantized) stay f32.  Pass out_dtype=None for the bit-exact wire.
     """
     import jax
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -58,12 +59,13 @@ def _eval_forward(model, params, outputs, mesh=None, out_dtype="float16"):
         # 6 trailing args means the last is valid_indices (a2d/jhmdb path)
         out = model.apply(params, *args[:-1], valid_indices=args[-1], train=False) \
             if len(args) == 6 else model.apply(params, *args, train=False)
-        # compact readback wire: cast float outputs on device (see docstring)
-        def _cast(x):
-            if out_dtype is not None and jnp.issubdtype(x.dtype, jnp.floating):
+        # compact readback wire: cast ONLY the big mask tensor (see docstring)
+        def _cast(k, x):
+            if (out_dtype is not None and k == "pred_masks"
+                    and jnp.issubdtype(x.dtype, jnp.floating)):
                 return x.astype(out_dtype)
             return x
-        return tuple(_cast(out[k]) for k in outputs)
+        return tuple(_cast(k, out[k]) for k in outputs)
 
     jitted = {}
 

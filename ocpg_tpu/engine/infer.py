@@ -181,17 +181,21 @@ class ClipInferenceEngine:
             return []
         # All requests in one run() must share a frames dtype: a mixed
         # f32/uint8 pool would silently truncate f32 frames into the uint8
-        # group buffer (advisor round-3).
+        # group buffer (advisor round-3).  Real raises, not asserts — this
+        # guard must survive python -O.
         wire_dtype = requests[0].frames.dtype
         for i, r in enumerate(requests):
-            assert r.frames.dtype == wire_dtype, (
-                f"request {i} frames dtype {r.frames.dtype} != {wire_dtype}; "
-                "mix of compact-uint8 and normalized-f32 requests in one run()")
+            if r.frames.dtype != wire_dtype:
+                raise ValueError(
+                    f"request {i} frames dtype {r.frames.dtype} != {wire_dtype}; "
+                    "mix of compact-uint8 and normalized-f32 requests in one run()")
 
         order: Dict[Tuple[int, int], List[int]] = {}
         for i, r in enumerate(requests):
             t = r.frames.shape[0]
-            assert t <= self.clip_len, (t, self.clip_len)
+            if t > self.clip_len:
+                raise ValueError(
+                    f"request {i} has {t} frames > clip_len={self.clip_len}")
             h, w = r.frames.shape[1:3]
             order.setdefault(pick_bucket(h, w, self.buckets), []).append(i)
         groups: List[Tuple[Tuple[int, int], List[int]]] = []

@@ -29,7 +29,10 @@ def run_point(backbone, batch, frames, height, width, timeout=3600):
         "--backbone", backbone, "--batch", str(batch), "--frames", str(frames),
         "--height", str(height), "--width", str(width), "--json_out", out,
     ]
-    env = dict(os.environ, PYTHONPATH=ROOT)
+    # APPEND to PYTHONPATH: the login profile points it at the axon TPU
+    # plugin's site dir; clobbering it kills the backend (verify SKILL.md)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
     t0 = time.time()
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True,

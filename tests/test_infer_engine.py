@@ -199,7 +199,7 @@ def test_engine_rejects_mixed_wire_dtypes(rng, tiny_engine):
         rng.standard_normal((2, 64, 64, 3)).astype(np.float32), ids, attn)
     r_u8 = InferRequest(
         rng.integers(0, 255, (2, 64, 64, 3)).astype(np.uint8), ids, attn)
-    with pytest.raises(AssertionError, match="dtype"):
+    with pytest.raises(ValueError, match="dtype"):
         engine.run([r_f32, r_u8])
 
 
