@@ -81,12 +81,17 @@ def get_args():
                         "<output_dir>/<split>_images.  The reference defines "
                         "the helpers (inference_davis.py:295-323) but its "
                         "loop never calls them; restored here")
-    p.add_argument("--readback", default="f16", choices=["f16", "f32"],
-                   help="mask-logit readback wire.  f16 (default) halves "
-                        "device->host bytes (~2.8x faster requests on the "
-                        "bench host, SERVING_TPU.json) and moves sigmoid "
-                        "scores by <1e-3; f32 is the bit-exact wire for "
-                        "parity work")
+    p.add_argument("--readback", default="f32", choices=["f16", "f32"],
+                   help="mask-logit readback wire.  f32 (default) is the "
+                        "parity-grade bit-exact wire — the right choice for "
+                        "benchmark reproduction, and free on PCIe hosts.  "
+                        "f16 halves device->host bytes (~2.8x faster "
+                        "requests on the tunneled bench host, "
+                        "SERVING_TPU.json) at <1e-3 sigmoid-score movement "
+                        "— the serving knob (and the ClipInferenceEngine "
+                        "API default).  Note the multi-object DAVIS merge "
+                        "argmaxes across per-object scores, so f16 only "
+                        "flips pixels whose object scores tie within ~1e-3")
     p.add_argument("--config_overrides", default=None,
                    help="JSON dict of OCPGConfig field overrides "
                         "(e.g. tiny models for smoke/e2e tests)")
@@ -197,8 +202,8 @@ def init_engine(cfg, args, example_frames, tokenizer):
             params = load_params(args.checkpoint, params)
     import jax.numpy as _jnp
 
-    out_dtype = (_jnp.float32 if getattr(args, "readback", "f16") == "f32"
-                 else _jnp.float16)
+    out_dtype = (_jnp.float16 if getattr(args, "readback", "f32") == "f16"
+                 else _jnp.float32)
     return model, ClipInferenceEngine(
         model, params, clip_len=args.clip_len, buckets=buckets,
         per_device_batch=getattr(args, "per_device_batch", 1),

@@ -43,8 +43,9 @@ def get_args():
                         "reference-point cross) to <output_dir>/<split>_images "
                         "(reference inference_ytvos.py:68-71; the snapshot "
                         "defines but never calls the helpers — restored here)")
-    p.add_argument("--readback", default="f16", choices=["f16", "f32"],
-                   help="mask-logit readback wire — see infer_davis")
+    p.add_argument("--readback", default="f32", choices=["f16", "f32"],
+                   help="mask-logit readback wire: f32 (default) "
+                        "parity-grade, f16 the serving knob — see infer_davis")
     p.add_argument("--config_overrides", default=None,
                    help="JSON dict of OCPGConfig field overrides")
     return p.parse_args()
