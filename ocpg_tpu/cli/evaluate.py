@@ -24,6 +24,11 @@ def main():
     p.add_argument("--tokenizer_path", default=None)
     p.add_argument("--invert_masks", action="store_true",
                    help="replicate the reference postprocessor quirk (postprocessors.py:46)")
+    p.add_argument("--readback", default="f32", choices=["f16", "f32"],
+                   help="mask-logit readback wire: f32 (default) parity-"
+                        "grade for metric reporting; f16 halves the "
+                        "dominant device->host bytes on wire-bound hosts "
+                        "(E2E_EVAL_TPU.json)")
     p.add_argument("--canvas", type=int, nargs=2, default=None,
                    metavar=("H", "W"),
                    help="static loader canvas (default: canvas_for())")
@@ -79,7 +84,8 @@ def main():
             params = load_params(args.checkpoint, params)
 
     metrics = evaluate_a2d(model, params, loader, args.dataset_file,
-                           invert_masks=args.invert_masks)
+                           invert_masks=args.invert_masks,
+                           readback=args.readback)
     print(json.dumps(metrics, indent=2))
 
 

@@ -18,7 +18,7 @@ from ..evaluation.rle import rle_encode
 from ..models.postprocessors import a2d_postprocess, refcoco_postprocess
 
 
-def _eval_forward(model, params, outputs, mesh=None, out_dtype="float16"):
+def _eval_forward(model, params, outputs, mesh=None, out_dtype=None):
     """Jitted eval forward sharded over a 1-D data mesh.
 
     The reference shards eval across GPUs via DDP + pickled all_gather
@@ -33,7 +33,10 @@ def _eval_forward(model, params, outputs, mesh=None, out_dtype="float16"):
     moves by <1e-3 (same analysis as the serving engine's f16 readback,
     PROFILE.md round-12).  Other outputs (class logits, BOXES — whose
     cxcywh coordinates feed IoU-threshold metrics and must not be
-    quantized) stay f32.  Pass out_dtype=None for the bit-exact wire.
+    quantized) always stay f32.  The default is None (bit-exact f32 wire):
+    these loops REPORT METRICS, so parity-grade is the right default —
+    pass out_dtype='float16' (CLI: --readback f16) for wire-bound serving
+    hosts.
     """
     import jax
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -98,11 +101,14 @@ def _eval_forward(model, params, outputs, mesh=None, out_dtype="float16"):
 
 
 def evaluate_a2d(model, params, loader, dataset_name: str = "a2d",
-                 invert_masks: bool = False, mesh=None) -> Dict[str, float]:
+                 invert_masks: bool = False, mesh=None,
+                 readback: str = "f32") -> Dict[str, float]:
     import jax
     import jax.numpy as jnp
 
-    forward = _eval_forward(model, params, ("pred_logits", "pred_masks"), mesh)
+    forward = _eval_forward(
+        model, params, ("pred_logits", "pred_masks"), mesh,
+        out_dtype="float16" if readback == "f16" else None)
 
     predictions: List[Dict] = []
     ground_truths: List[Dict] = []
@@ -153,7 +159,8 @@ def evaluate_a2d(model, params, loader, dataset_name: str = "a2d",
     return _metrics(predictions, ground_truths)
 
 
-def evaluate_refexp_loop(model, params, loader, mesh=None) -> Dict[str, float]:
+def evaluate_refexp_loop(model, params, loader, mesh=None,
+                         readback: str = "f32") -> Dict[str, float]:
     """RefCOCO val evaluation: bbox P@k + segm P@K/IoU/mAP.
 
     Mirrors the reference pretrain eval (`/root/reference/main_pretrain.py:
@@ -166,7 +173,8 @@ def evaluate_refexp_loop(model, params, loader, mesh=None) -> Dict[str, float]:
     import jax.numpy as jnp
 
     forward = _eval_forward(
-        model, params, ("pred_logits", "pred_boxes", "pred_masks"), mesh)
+        model, params, ("pred_logits", "pred_boxes", "pred_masks"), mesh,
+        out_dtype="float16" if readback == "f16" else None)
 
     box_preds: List[Dict] = []
     box_gts: List[Dict] = []

@@ -110,16 +110,18 @@ def main():
             valid_indices=jnp.zeros(len(host["samples"]), jnp.int32),
             train=False))()
 
-        # pass 1: compile + warm page caches (discarded)
+        # pass 1: compile + warm page caches (discarded).  f16 readback —
+        # this bench measures the wire-bound serving configuration; the
+        # metric CLI defaults to the parity-grade f32 wire.
         t0 = time.time()
-        evaluate_a2d(model, params, loader)
+        evaluate_a2d(model, params, loader, readback="f16")
         warm_s = time.time() - t0
         print(f"warm pass (incl. compile): {warm_s:.1f}s", flush=True)
 
         # pass 2: the measured e2e evaluate — decode, transforms, compact
         # wire, forward, RLE postprocess, metric accumulation
         t0 = time.time()
-        metrics = evaluate_a2d(model, params, loader)
+        metrics = evaluate_a2d(model, params, loader, readback="f16")
         e2e_s = time.time() - t0
         n_clips = len(dataset)
         e2e_ms = e2e_s / n_clips * 1000
