@@ -68,7 +68,22 @@ def main():
     ap.add_argument("--width", type=int, default=640)
     args = ap.parse_args()
 
+    out_path = os.path.join(ROOT, "TRAIN_OPPOINTS.json")
     points = []
+
+    def write_artifact():
+        # incremental: a killed sweep still leaves every finished point
+        artifact = {
+            "canvas": f"{args.height}x{args.width} bf16",
+            "method": "chained-scan paired-median (scripts/bench_train.py), "
+                      "one fresh process per point",
+            "reference_operating_point": "bs=2/GPU T=3 "
+                "(dist_train_a2d_resnet101_boxsup.sh:23, opts.py:62-63)",
+            "points": points,
+        }
+        with open(out_path, "w") as f:
+            json.dump(artifact, f, indent=1)
+
     for backbone in args.backbones:
         for frames in args.frames:
             for batch in args.batches:
@@ -76,21 +91,10 @@ def main():
                 rec = run_point(backbone, batch, frames, args.height, args.width)
                 print(json.dumps(rec), flush=True)
                 points.append(rec)
+                write_artifact()
                 if rec["status"] == "oom":
                     # larger batches at this T will also OOM; skip them
                     break
-
-    artifact = {
-        "canvas": f"{args.height}x{args.width} bf16",
-        "method": "chained-scan paired-median (scripts/bench_train.py), "
-                  "one fresh process per point",
-        "reference_operating_point": "bs=2/GPU T=3 "
-            "(dist_train_a2d_resnet101_boxsup.sh:23, opts.py:62-63)",
-        "points": points,
-    }
-    out_path = os.path.join(ROOT, "TRAIN_OPPOINTS.json")
-    with open(out_path, "w") as f:
-        json.dump(artifact, f, indent=1)
     print(f"wrote {out_path}")
 
 
