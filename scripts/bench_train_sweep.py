@@ -69,7 +69,21 @@ def main():
     args = ap.parse_args()
 
     out_path = os.path.join(ROOT, "TRAIN_OPPOINTS.json")
+    # merge with prior invocations: partial grids accumulate into one
+    # artifact, keyed by (backbone, batch, frames); re-measuring replaces
     points = []
+    if os.path.exists(out_path):
+        try:
+            old = json.load(open(out_path)).get("points", [])
+            points = [p for p in old if p.get("status") != "failed(rc=1)"]
+        except Exception:
+            pass
+
+    def upsert(rec):
+        key = (rec["backbone"], rec["batch"], rec["frames"])
+        points[:] = [p for p in points
+                     if (p["backbone"], p["batch"], p["frames"]) != key]
+        points.append(rec)
 
     def write_artifact():
         # incremental: a killed sweep still leaves every finished point
@@ -90,7 +104,7 @@ def main():
                 print(f"--- {backbone} bs={batch} T={frames} ---", flush=True)
                 rec = run_point(backbone, batch, frames, args.height, args.width)
                 print(json.dumps(rec), flush=True)
-                points.append(rec)
+                upsert(rec)
                 write_artifact()
                 if rec["status"] == "oom":
                     # larger batches at this T will also OOM; skip them
