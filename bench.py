@@ -1,17 +1,43 @@
 """Benchmark: clip frames/sec/chip, A2D-style eval forward (R101 OCPG).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Emission is GUARANTEED (VERDICT r4 next-step 1: round 4's driver run timed
+out with nothing printed because the line printed only after every companion
+finished).  Structure now:
+  * the headline (R101 eval) is measured FIRST and merged into the record
+    immediately;
+  * each companion stage (Swin-B eval, train bs=1, train bs=2) runs only if
+    the remaining wall-clock budget (env OCPG_BENCH_BUDGET_S, default 900 s)
+    covers its estimated cost — skipped stages are listed in record["skipped"];
+  * the single JSON line is printed exactly once by whichever fires first:
+    normal completion, atexit, a SIGTERM/SIGINT handler, or a watchdog thread
+    that force-emits and exits if the process is still alive at budget+grace
+    (covers the main thread being stuck inside a blocking device call, where
+    Python signal handlers cannot run).
 
 Method: N forwards are chained inside a single jitted `lax.scan` whose carry
 perturbs the input — so iterations execute sequentially on-device and only a
 scalar returns to the host.  This is robust on the tunneled "axon" platform,
 where `block_until_ready` returns before execution finishes (async dispatch)
 and per-call host transfers would measure tunnel bandwidth, not the chip.
-Per-step time = median over 5 paired runs of (t_32iter - t_4iter) / 28: the
+Per-step time = median over paired runs of (t_long - t_short) / (L - S): the
 wide separation swamps the tunnel's per-call latency variance and the
-paired-median discards transient stalls (a small-separation subtraction was
-measured unstable; validated against jax.profiler device-time totals,
-PROFILE.md).
+paired-median discards transient stalls (validated against jax.profiler
+device-time totals, PROFILE.md).
+
+MFU is reported twice per workload (VERDICT r4 next-step 3):
+  * `*_mfu_hlo` — XLA cost-analysis flops only.  HLO counts a Pallas custom
+    call as ZERO flops, so this understates utilization by the MSDA kernels'
+    share of the step (~2/3 at train shapes).
+  * `*_mfu_incl_custom_calls` — HLO flops plus the analytic executed flops of
+    every Pallas MSDA fwd/bwd call, collected at trace time
+    (ocpg_tpu.ops.ms_deform_attn.count_msda_flops).  This is hardware
+    utilization: it counts the dense hat-row matmul volume the MXU actually
+    executes, including the structural zeros of the bilinear hats.
+Peak FLOP/s comes from the attached device kind (ocpg_tpu.utils.hw), and the
+record carries the assumed peak so a different TPU generation cannot silently
+produce wrong MFU (ADVICE r4).
 
 Baseline note: the reference repo publishes no numbers (README is two lines;
 see BASELINE.md).  `vs_baseline` is measured fps divided by ESTIMATED_A100_FPS,
@@ -25,14 +51,15 @@ pipelines with a gather-bound custom CUDA op -> 50-75 f/s; we use the low end
 
 Variants: OCPG_BENCH_BACKBONE=video_swin_b_p4w7 benches ONLY the VideoSwin-B
 model; the default headline stays R101 so driver-recorded rounds are
-comparable.  The default run additionally measures the VideoSwin-B half of
-the north-star metric (BASELINE.md names both backbones) and records it as
-`swin_b_*` companion fields in the same JSON line, so every driver round
-captures both halves.  OCPG_BENCH_SKIP_SWIN=1 skips that for quick runs.
+comparable.  OCPG_BENCH_SKIP_SWIN=1 / OCPG_BENCH_SKIP_TRAIN=1 skip companions.
 """
 
+import atexit
 import json
 import os
+import signal
+import sys
+import threading
 import time
 
 import numpy as np
@@ -45,21 +72,113 @@ ESTIMATED_A100_FPS = 50.0  # estimated reference clip-frames/sec on one A100
 # bench shape: 5-frame clip at the reference's inference scale (Resize 360,
 # max_size 640 -> padded canvas 384x640, /32-aligned)
 FRAMES, HEIGHT, WIDTH = 5, 384, 640
-# Long/short chain lengths: per-step time = (t_long - t_short)/(LONG - SHORT).
-# The wide separation (28 on-device iterations) swamps the tunnel's per-call
-# dispatch-latency variance, which made small-separation subtractions
-# unstable (cross-checked against jax.profiler device-time totals).
 ITERS_LONG, ITERS_SHORT, REPEATS = 32, 4, 5
 
+BUDGET_S = float(os.environ.get("OCPG_BENCH_BUDGET_S", "900"))
+WATCHDOG_GRACE_S = 90.0
+_T0 = time.monotonic()
+
+
+def _elapsed():
+    return time.monotonic() - _T0
+
+
+# ---------------------------------------------------------------------------
+# Guaranteed single-line emission
+# ---------------------------------------------------------------------------
+
+_RECORD = {
+    "metric": "clip_frames_per_sec_per_chip_a2d_r101",
+    "value": 0.0,
+    "unit": "frames/sec/chip",
+    "vs_baseline": 0.0,
+    "budget_s": BUDGET_S,
+    "skipped": [],
+    "stage_wall_s": {},
+}
+_EMIT_LOCK = threading.Lock()
+_EMITTED = False
+
+
+def _emit():
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return
+        _EMITTED = True
+        _RECORD["wall_s"] = round(_elapsed(), 1)
+        sys.stdout.write(json.dumps(_RECORD) + "\n")
+        sys.stdout.flush()
+
+
+def _on_signal(signum, frame):
+    print(f"bench: signal {signum} at {_elapsed():.0f}s — emitting partial record",
+          file=sys.stderr)
+    _emit()
+    os._exit(0)
+
+
+def _watchdog():
+    deadline = BUDGET_S + WATCHDOG_GRACE_S
+    while True:
+        remaining = deadline - _elapsed()
+        if remaining <= 0:
+            break
+        time.sleep(min(remaining, 5.0))
+    with _EMIT_LOCK:
+        done = _EMITTED
+    if not done:
+        print(f"bench: watchdog fired at {_elapsed():.0f}s — emitting partial "
+              "record and exiting", file=sys.stderr)
+        _emit()
+        os._exit(0)
+
+
+atexit.register(_emit)
+signal.signal(signal.SIGTERM, _on_signal)
+signal.signal(signal.SIGINT, _on_signal)
+threading.Thread(target=_watchdog, daemon=True).start()
+
+
+def _budget_allows(stage: str, est_s: float) -> bool:
+    """True if `stage` (estimated est_s wall) fits the remaining budget."""
+    remaining = BUDGET_S - _elapsed()
+    if est_s <= remaining:
+        return True
+    print(f"bench: skipping {stage} (est {est_s:.0f}s > remaining "
+          f"{remaining:.0f}s of {BUDGET_S:.0f}s budget)", file=sys.stderr)
+    _RECORD["skipped"].append(stage)
+    return False
+
+
+def _peak_flops():
+    from ocpg_tpu.utils.hw import tpu_spec
+
+    spec = tpu_spec()
+    _RECORD.setdefault("tpu_kind", spec.kind)
+    _RECORD.setdefault("assumed_peak_tflops_bf16", round(spec.peak_flops_bf16 / 1e12, 1))
+    if spec.assumed:
+        _RECORD.setdefault("peak_is_fallback_guess", True)
+    return spec.peak_flops_bf16
+
+
+# ---------------------------------------------------------------------------
+# Workloads
+# ---------------------------------------------------------------------------
 
 def measure(backbone: str, bsz: int):
-    """Measure one model's eval-forward throughput; returns (fps, mfu, gflop)."""
+    """Eval-forward throughput; returns dict of metrics for one model."""
     import jax
     import jax.numpy as jnp
 
     from ocpg_tpu.config import a2d_r101_boxsup
     from ocpg_tpu.models import build_model
     from ocpg_tpu.data.synthetic import synthetic_batch
+    # NB: `import ocpg_tpu.ops.ms_deform_attn as X` would bind the
+    # same-named FUNCTION re-exported by the ops package, not the module
+    import importlib
+
+    msda_ops = importlib.import_module("ocpg_tpu.ops.ms_deform_attn")
 
     cfg = a2d_r101_boxsup().replace(compute_dtype="bfloat16", backbone=backbone)
     model, *_ = build_model(cfg)
@@ -96,26 +215,22 @@ def measure(backbone: str, bsz: int):
     float(chained(params, samples, ITERS_SHORT))
     float(chained(params, samples, ITERS_LONG))
 
-    # Model FLOPs per forward from XLA's own cost model, lowered as a single
-    # unchained forward (the scan program is useless here: XLA cost analysis
-    # counts a while-loop body ONCE regardless of trip count, measured
-    # identical flops at n=4 and n=32).  Used to report model-level MFU — an
-    # un-gameable companion to f/s (VERDICT r1 weak #3).  Caveat: HLO flops
-    # exclude the MSDA Pallas custom-call's internal work, so this slightly
-    # understates true MFU.
-    def _flops_single_forward():
-        try:
-            single = jax.jit(one)
-            ca = single.lower(params, samples).compile().cost_analysis()
-            if isinstance(ca, list):  # older jax returns [dict]
-                ca = ca[0]
-            return float(ca.get("flops", 0.0))
-        except Exception as e:  # cost model unavailable on some platforms
-            import sys
-            print(f"cost_analysis unavailable: {e!r}", file=sys.stderr)
-            return 0.0
-
-    flops_per_iter = _flops_single_forward()
+    # HLO flops from XLA's own cost model on the UNCHAINED forward (a
+    # while-loop body counts once regardless of trip count), plus the
+    # analytic executed flops of the Pallas MSDA custom calls collected at
+    # trace time — HLO counts custom calls as zero.
+    flops_hlo, flops_msda = 0.0, 0.0
+    try:
+        single = jax.jit(one)
+        with msda_ops.count_msda_flops() as msda_entries:
+            lowered = single.lower(params, samples)
+        flops_msda = float(sum(fl for _, fl in msda_entries))
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, list):  # older jax returns [dict]
+            ca = ca[0]
+        flops_hlo = float(ca.get("flops", 0.0))
+    except Exception as e:  # cost model unavailable on some platforms
+        print(f"cost_analysis unavailable: {e!r}", file=sys.stderr)
 
     def run_once(n_iters):
         t0 = time.perf_counter()
@@ -130,22 +245,22 @@ def measure(backbone: str, bsz: int):
         t_short = run_once(ITERS_SHORT)
         deltas.append((t_long - t_short) / (ITERS_LONG - ITERS_SHORT))
     dt = max(sorted(deltas)[len(deltas) // 2], 1e-9)
-    fps = bsz * FRAMES / dt
-    # v5e peak: 197 TFLOP/s bf16 (model-level MFU; the XLA cost model
-    # counts nominal HLO flops, so this is conservative for fp32 islands)
-    mfu = flops_per_iter / dt / 197e12 if flops_per_iter > 0 else 0.0
-    return fps, mfu, flops_per_iter / 1e9
+    peak = _peak_flops()
+    out = {"fps": bsz * FRAMES / dt}
+    if flops_hlo > 0:
+        out["mfu_hlo"] = flops_hlo / dt / peak
+        out["mfu_incl"] = (flops_hlo + flops_msda) / dt / peak
+        out["gflop_hlo"] = flops_hlo / 1e9
+        out["gflop_msda"] = flops_msda / 1e9
+    return out
 
 
 def measure_train(backbone: str = "resnet101", bsz: int = 1, frames: int = 3,
                   height: int = 512, width: int = 640):
     """Train-step throughput (fwd + matcher + losses + grads + AdamW) at the
     reference train operating point (T=3, ~512x640; opts.py:62-63).  Same
-    chained-scan paired-median methodology as `measure`; the TrainState is the
-    scan carry so steps execute back-to-back on-device.  Source of truth for
-    the PROFILE.md train numbers is scripts/bench_train.py — this records the
-    same measurement in the driver artifact every round (VERDICT r1 weak #2:
-    the heavier train workload was not covered by the driver bench)."""
+    chained-scan paired-median methodology as `measure`; the TrainState is
+    the scan carry so steps execute back-to-back on-device."""
     import functools
 
     import jax
@@ -155,6 +270,11 @@ def measure_train(backbone: str = "resnet101", bsz: int = 1, frames: int = 3,
     from ocpg_tpu.models import build_model
     from ocpg_tpu.engine import build_optimizer, create_train_state, make_train_step
     from ocpg_tpu.data.synthetic import synthetic_batch
+    # NB: `import ocpg_tpu.ops.ms_deform_attn as X` would bind the
+    # same-named FUNCTION re-exported by the ops package, not the module
+    import importlib
+
+    msda_ops = importlib.import_module("ocpg_tpu.ops.ms_deform_attn")
 
     cfg = ytvos_r101_boxsup().replace(compute_dtype="bfloat16",
                                       backbone=backbone, num_frames=frames)
@@ -190,23 +310,21 @@ def measure_train(backbone: str = "resnet101", bsz: int = 1, frames: int = 3,
     state, losses = chained(state, batch, iters_long)
     float(losses[-1])
 
-    # Train FLOPs per step from XLA's cost model on the UNCHAINED step
-    # (while-loop bodies count once regardless of trip count) — yields the
-    # train_mfu companion so the f/s number can't be gamed by shrinking the
-    # workload (VERDICT r3 weak #1: every train number was bs=1 with no MFU).
-    def _train_flops():
-        try:
-            single = jax.jit(train_step)
-            ca = single.lower(state, batch).compile().cost_analysis()
-            if isinstance(ca, list):
-                ca = ca[0]
-            return float(ca.get("flops", 0.0))
-        except Exception as e:
-            import sys
-            print(f"train cost_analysis unavailable: {e!r}", file=sys.stderr)
-            return 0.0
-
-    flops_per_step = _train_flops()
+    # HLO + analytic-Pallas flops on the UNCHAINED step (see `measure`).
+    # Remat replays re-trace the MSDA forward, so the trace-time count
+    # includes recomputation — executed work, which is what MFU measures.
+    flops_hlo, flops_msda = 0.0, 0.0
+    try:
+        single = jax.jit(train_step)
+        with msda_ops.count_msda_flops() as msda_entries:
+            lowered = single.lower(state, batch)
+        flops_msda = float(sum(fl for _, fl in msda_entries))
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops_hlo = float(ca.get("flops", 0.0))
+    except Exception as e:
+        print(f"train cost_analysis unavailable: {e!r}", file=sys.stderr)
 
     def run_once(n_iters):
         nonlocal state
@@ -221,9 +339,35 @@ def measure_train(backbone: str = "resnet101", bsz: int = 1, frames: int = 3,
         t_short = run_once(iters_short)
         deltas.append((t_long - t_short) / (iters_long - iters_short))
     dt = max(sorted(deltas)[len(deltas) // 2], 1e-9)
-    mfu = flops_per_step / dt / 197e12 if flops_per_step > 0 else 0.0
-    # (ms/step, train-frames/sec/chip, model-level train MFU)
-    return dt * 1e3, bsz * frames / dt, mfu
+    peak = _peak_flops()
+    out = {"step_ms": dt * 1e3, "fps": bsz * frames / dt}
+    if flops_hlo > 0:
+        out["mfu_hlo"] = flops_hlo / dt / peak
+        out["mfu_incl"] = (flops_hlo + flops_msda) / dt / peak
+        out["gflop_hlo"] = flops_hlo / 1e9
+        out["gflop_msda"] = flops_msda / 1e9
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Stage plan
+# ---------------------------------------------------------------------------
+
+def _stage(name, fn):
+    """Run one stage, recording its wall time; failures never kill the run.
+    `running_stage` marks the in-flight stage so a watchdog/SIGTERM partial
+    record shows where time went (round-5 validation: a cold train-step
+    compile overran the budget and the partial record couldn't say why)."""
+    t0 = time.monotonic()
+    _RECORD["running_stage"] = name
+    try:
+        fn()
+    except Exception as e:
+        print(f"bench: stage {name} failed: {e!r}", file=sys.stderr)
+        _RECORD["skipped"].append(f"{name}:failed")
+    finally:
+        _RECORD["stage_wall_s"][name] = round(time.monotonic() - t0, 1)
+        _RECORD["running_stage"] = None
 
 
 def main():
@@ -232,61 +376,69 @@ def main():
     # per dispatch, as ClipInferenceEngine(per_device_batch>1) issues them)
     bsz = int(os.environ.get("OCPG_BENCH_BATCH", "1"))
 
-    fps, mfu, gflop = measure(backbone, bsz)
     tag = "a2d_r101" if backbone == "resnet101" else f"a2d_{backbone}"
     if bsz > 1:
         tag += f"_b{bsz}"
-    record = {
-        "metric": f"clip_frames_per_sec_per_chip_{tag}",
-        "value": round(fps, 2),
-        "unit": "frames/sec/chip",
-        "vs_baseline": round(fps / ESTIMATED_A100_FPS, 3),
-    }
-    if gflop > 0:
-        record["model_mfu"] = round(mfu, 4)
-        record["model_gflop_per_clip"] = round(gflop, 1)
+    _RECORD["metric"] = f"clip_frames_per_sec_per_chip_{tag}"
+
+    def headline():
+        r = measure(backbone, bsz)
+        _RECORD["value"] = round(r["fps"], 2)
+        _RECORD["vs_baseline"] = round(r["fps"] / ESTIMATED_A100_FPS, 3)
+        if "mfu_hlo" in r:
+            _RECORD["model_mfu_hlo"] = round(r["mfu_hlo"], 4)
+            _RECORD["model_mfu_incl_custom_calls"] = round(r["mfu_incl"], 4)
+            _RECORD["model_gflop_per_clip_hlo"] = round(r["gflop_hlo"], 1)
+            _RECORD["model_gflop_per_clip_msda"] = round(r["gflop_msda"], 1)
+
+    _stage("headline", headline)
+    headline_wall = _RECORD["stage_wall_s"].get("headline", 60.0)
 
     # Second half of the north-star metric ("A2D R101 + VideoSwin-B",
     # BASELINE.md:25), recorded in the same driver artifact each round.
-    if (backbone == "resnet101"
-            and not os.environ.get("OCPG_BENCH_SKIP_SWIN")):
-        try:
-            sfps, smfu, sgflop = measure("video_swin_b_p4w7", bsz)
-            record["swin_b_fps"] = round(sfps, 2)
-            record["swin_b_vs_baseline"] = round(sfps / ESTIMATED_A100_FPS, 3)
-            if sgflop > 0:
-                record["swin_b_model_mfu"] = round(smfu, 4)
-                record["swin_b_model_gflop_per_clip"] = round(sgflop, 1)
-        except Exception as e:  # never let the secondary break the headline
-            import sys
-            print(f"swin_b bench failed: {e!r}", file=sys.stderr)
+    if (backbone == "resnet101" and not os.environ.get("OCPG_BENCH_SKIP_SWIN")
+            and _budget_allows("swin_b", est_s=1.6 * headline_wall + 60)):
+        def swin():
+            r = measure("video_swin_b_p4w7", bsz)
+            _RECORD["swin_b_fps"] = round(r["fps"], 2)
+            _RECORD["swin_b_vs_baseline"] = round(r["fps"] / ESTIMATED_A100_FPS, 3)
+            if "mfu_hlo" in r:
+                _RECORD["swin_b_model_mfu_hlo"] = round(r["mfu_hlo"], 4)
+                _RECORD["swin_b_model_mfu_incl_custom_calls"] = round(r["mfu_incl"], 4)
 
-    # Train-step companion (R101 boxsup at the reference train operating
-    # point): the heavier real workload, recorded in the same driver artifact.
-    # Measured at BOTH bs=1 (latency point) and bs=2 (the reference recipe's
-    # per-GPU batch, dist_train_a2d_resnet101_boxsup.sh:23), each with a
-    # train_mfu companion (VERDICT r3 weak #1).
-    if (backbone == "resnet101" and bsz == 1
-            and not os.environ.get("OCPG_BENCH_SKIP_TRAIN")):
-        try:
-            step_ms, tfps, tmfu = measure_train()
-            record["train_step_ms"] = round(step_ms, 1)
-            record["train_frames_per_sec_per_chip"] = round(tfps, 2)
-            if tmfu > 0:
-                record["train_mfu"] = round(tmfu, 4)
-        except Exception as e:
-            import sys
-            print(f"train bench failed: {e!r}", file=sys.stderr)
-        try:
-            step_ms2, tfps2, tmfu2 = measure_train(bsz=2)
-            record["train_b2_step_ms"] = round(step_ms2, 1)
-            record["train_b2_frames_per_sec_per_chip"] = round(tfps2, 2)
-            if tmfu2 > 0:
-                record["train_b2_mfu"] = round(tmfu2, 4)
-        except Exception as e:
-            import sys
-            print(f"train bs2 bench failed: {e!r}", file=sys.stderr)
-    print(json.dumps(record))
+        _stage("swin_b", swin)
+
+    # Train-step companions (R101 boxsup at the reference train operating
+    # point) at bs=1 (latency point) and bs=2 (the reference recipe's
+    # per-GPU batch, dist_train_a2d_resnet101_boxsup.sh:23).
+    if backbone == "resnet101" and bsz == 1 and not os.environ.get("OCPG_BENCH_SKIP_TRAIN"):
+        if _budget_allows("train_bs1", est_s=2.2 * headline_wall + 60):
+            def train1():
+                r = measure_train()
+                _RECORD["train_step_ms"] = round(r["step_ms"], 1)
+                _RECORD["train_frames_per_sec_per_chip"] = round(r["fps"], 2)
+                if "mfu_hlo" in r:
+                    _RECORD["train_mfu_hlo"] = round(r["mfu_hlo"], 4)
+                    _RECORD["train_mfu_incl_custom_calls"] = round(r["mfu_incl"], 4)
+                    _RECORD["train_gflop_per_step_hlo"] = round(r["gflop_hlo"], 1)
+                    _RECORD["train_gflop_per_step_msda"] = round(r["gflop_msda"], 1)
+
+            _stage("train_bs1", train1)
+
+        t1_wall = _RECORD["stage_wall_s"].get("train_bs1", 2 * headline_wall)
+        if ("train_bs1" in _RECORD["stage_wall_s"]
+                and _budget_allows("train_bs2", est_s=1.4 * t1_wall + 30)):
+            def train2():
+                r = measure_train(bsz=2)
+                _RECORD["train_b2_step_ms"] = round(r["step_ms"], 1)
+                _RECORD["train_b2_frames_per_sec_per_chip"] = round(r["fps"], 2)
+                if "mfu_hlo" in r:
+                    _RECORD["train_b2_mfu_hlo"] = round(r["mfu_hlo"], 4)
+                    _RECORD["train_b2_mfu_incl_custom_calls"] = round(r["mfu_incl"], 4)
+
+            _stage("train_bs2", train2)
+
+    _emit()
 
 
 if __name__ == "__main__":

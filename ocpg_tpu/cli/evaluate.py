@@ -25,10 +25,18 @@ def main():
     p.add_argument("--invert_masks", action="store_true",
                    help="replicate the reference postprocessor quirk (postprocessors.py:46)")
     p.add_argument("--readback", default="f32", choices=["f16", "f32"],
-                   help="mask-logit readback wire: f32 (default) parity-"
-                        "grade for metric reporting; f16 halves the "
-                        "dominant device->host bytes on wire-bound hosts "
-                        "(E2E_EVAL_TPU.json)")
+                   help="mask-logit readback wire for --postprocess host: "
+                        "f32 (default) parity-grade, f16 halves the "
+                        "dominant device->host bytes (E2E_EVAL_TPU.json)")
+    p.add_argument("--postprocess", default="device",
+                   choices=["device", "host"],
+                   help="'device' (default) fuses crop/resize-to-original/"
+                        "threshold/bit-pack into the jitted forward — the "
+                        "mask wire becomes packed binary at native "
+                        "resolution (~150x fewer bytes than the f32 "
+                        "canvas) and the per-sample host resize round-trip "
+                        "disappears; 'host' is the legacy numpy postprocess "
+                        "over full-canvas logits (bit-exact wire)")
     p.add_argument("--canvas", type=int, nargs=2, default=None,
                    metavar=("H", "W"),
                    help="static loader canvas (default: canvas_for())")
@@ -85,7 +93,8 @@ def main():
 
     metrics = evaluate_a2d(model, params, loader, args.dataset_file,
                            invert_masks=args.invert_masks,
-                           readback=args.readback)
+                           readback=args.readback,
+                           postprocess=args.postprocess)
     print(json.dumps(metrics, indent=2))
 
 

@@ -64,10 +64,13 @@ def get_args():
                    help="'exact' (the default: per-request /64-aligned "
                         "canvas — minimal padding, zero only when the "
                         "resized shape is already a /64 multiple, e.g. "
-                        "real 360x640 still pads to 384x640; one XLA "
-                        "compile per distinct shape, which on the "
-                        "fixed-resolution DAVIS/YTVOS val splits is one "
-                        "program), 'serving' (the 360p canvas bucket trio "
+                        "real 360x640 still pads to 384x640; ONE XLA "
+                        "COMPILE PER DISTINCT SHAPE — multi-minute each on "
+                        "TPU; fine on the fixed-resolution DAVIS/YTVOS val "
+                        "splits where it is one program, and the engine "
+                        "auto-falls-back to the serving trio after 4 "
+                        "distinct canvases to bound compiles on mixed-"
+                        "aspect pools), 'serving' (the 360p canvas bucket trio "
                         "— bounded compiles for mixed-shape request "
                         "pools; 'default' is a deprecated alias), or "
                         "'H1xW1,H2xW2,...' custom /64-multiple buckets.  "
@@ -167,7 +170,7 @@ def normalize_frames(imgs: np.ndarray) -> np.ndarray:
     return (imgs.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
 
 
-def init_engine(cfg, args, example_frames, tokenizer):
+def init_engine(cfg, args, example_frames, tokenizer, want_query_scores=False):
     """Build model, init/restore params, wrap in a ClipInferenceEngine."""
     import jax
     import jax.numpy as jnp
@@ -208,7 +211,8 @@ def init_engine(cfg, args, example_frames, tokenizer):
         model, params, clip_len=args.clip_len, buckets=buckets,
         per_device_batch=getattr(args, "per_device_batch", 1),
         out_dtype=out_dtype,
-        want_ref_points=getattr(args, "visualize", False))
+        want_ref_points=getattr(args, "visualize", False),
+        want_query_scores=want_query_scores)
 
 
 def main():

@@ -28,7 +28,13 @@ def get_args():
     p.add_argument("--output_dir", default="output/ytvos")
     p.add_argument("--backbone", default="resnet101")
     p.add_argument("--split", default="valid")
-    p.add_argument("--clip_len", type=int, default=36)
+    p.add_argument("--clip_len", type=int, default=36,
+                   help="frames per chunk; 0 = WHOLE-VIDEO forwards (one "
+                        "request per expression, clip_len = longest video "
+                        "in the split — the reference's exact semantics, "
+                        "inference_ytvos.py:198; HBM fits ~400 frames at "
+                        "360p, HBM_ENVELOPE.json).  Chunked mode stays "
+                        "reference-equivalent via --query_select global")
     p.add_argument("--per_device_batch", type=int, default=1,
                    help=">1 batches several clips per chip per dispatch")
     p.add_argument("--resize", type=int, default=360)
@@ -46,6 +52,17 @@ def get_args():
     p.add_argument("--readback", default="f32", choices=["f16", "f32"],
                    help="mask-logit readback wire: f32 (default) "
                         "parity-grade, f16 the serving knob — see infer_davis")
+    p.add_argument("--query_select", default="global",
+                   choices=["global", "chunk"],
+                   help="'global' (default): aggregate per-query scores "
+                        "across a video's chunks (frame-count-weighted mean "
+                        "— exactly the whole-video mean), pick ONE query, "
+                        "and re-run only the chunks whose local argmax "
+                        "differed, matching the reference's whole-video "
+                        "forward (inference_ytvos.py:198-213) where the "
+                        "referred-object identity cannot switch mid-video; "
+                        "'chunk' keeps the per-chunk argmax (round<=4 "
+                        "behavior)")
     p.add_argument("--config_overrides", default=None,
                    help="JSON dict of OCPGConfig field overrides")
     return p.parse_args()
@@ -72,18 +89,27 @@ def main():
     img_folder = root / args.split / "JPEGImages"
     save_prefix = Path(args.output_dir) / "Annotations"
 
+    clip_len = args.clip_len
+    if clip_len <= 0:
+        # whole-video mode: one static T covering the longest video (short
+        # videos ride as padding frames the model's valid-frame mean skips)
+        clip_len = max(len(v["frames"]) for v in data.values())
+        print(f"whole-video mode: clip_len={clip_len}", flush=True)
+    args.clip_len = clip_len
+
     engine = None
     for video, vdata in data.items():
         frames = vdata["frames"]
-        chunks = [frames[s:s + args.clip_len]
-                  for s in range(0, len(frames), args.clip_len)]
+        chunks = [frames[s:s + clip_len]
+                  for s in range(0, len(frames), clip_len)]
         clip_cache = {}
         origin_size = None
         for ci, clip_names in enumerate(chunks):
             clip_cache[ci], origin_size = load_frames(
                 img_folder, video, clip_names, args.resize, args.max_size)
         if engine is None:
-            _, engine = init_engine(cfg, args, clip_cache[0], tokenizer)
+            _, engine = init_engine(cfg, args, clip_cache[0], tokenizer,
+                                    want_query_scores=(args.query_select == "global"))
 
         requests, meta = [], []
         for exp_id, ed in vdata["expressions"].items():
@@ -93,6 +119,35 @@ def main():
                 requests.append(InferRequest(clip_cache[ci], ids[0], attn[0]))
                 meta.append((exp_id, ci))
         results = engine.run(requests)
+        all_refs = list(engine.last_ref_points)
+
+        if args.query_select == "global":
+            # frame-count-weighted mean of the chunk means == the whole-video
+            # valid-frame mean (chunks partition the frames), so this argmax
+            # IS the reference's global best-query choice; only chunks whose
+            # local argmax differed are re-run, forcing the global query
+            scores = engine.last_query_scores
+            by_exp = {}
+            for k, (exp_id, ci) in enumerate(meta):
+                by_exp.setdefault(exp_id, []).append(k)
+            redo = []
+            for exp_id, ks in by_exp.items():
+                if len(ks) <= 1:
+                    continue
+                tot = sum(requests[k].frames.shape[0] for k in ks)
+                agg = sum(scores[k] * requests[k].frames.shape[0] for k in ks) / tot
+                gq = int(agg.max(axis=-1).argmax())
+                for k in ks:
+                    if int(scores[k].max(axis=-1).argmax()) != gq:
+                        requests[k] = InferRequest(
+                            requests[k].frames, requests[k].text_ids,
+                            requests[k].text_mask, query_override=gq)
+                        redo.append(k)
+            if redo:
+                redo_results = engine.run([requests[k] for k in redo])
+                for i, k in enumerate(redo):
+                    results[k] = redo_results[i]
+                    all_refs[k] = engine.last_ref_points[i]
 
         per, per_refs = {}, {}
         for k, ((exp_id, ci), m) in enumerate(zip(meta, results)):
@@ -103,7 +158,7 @@ def main():
             if args.visualize:
                 # reference points are normalized to the VALID (unpadded)
                 # region (see infer_davis) — no canvas rescale needed
-                per_refs.setdefault(exp_id, {})[ci] = engine.last_ref_points[k]
+                per_refs.setdefault(exp_id, {})[ci] = all_refs[k]
 
         for exp_id, by_chunk in per.items():
             video_masks = np.concatenate(

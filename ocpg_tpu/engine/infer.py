@@ -17,9 +17,10 @@ engine keeps up to `pipeline_depth` groups in flight — while group i computes
 on the devices, the host assembles + uploads group i+1 and reads back group
 i-1.  The reference hides the same latency with one OS process per GPU
 (inference_davis.py:97-109); here it is one process, one pipeline.  The
-readback is also compact: the jitted forward casts the full-canvas logits to
-f16 on device (`out_dtype`), halving device->host bytes per group; consumers
-get f32 after the host-side crop to the request's true (t, h, w).
+readback can be made compact: with `out_dtype=jnp.float16` (explicit serving
+opt-in; default is bit-tight f32) the jitted forward casts the full-canvas
+logits to f16 on device, halving device->host bytes per group; consumers get
+f32 after the host-side crop to the request's true (t, h, w).
 
 Usage:
     engine = ClipInferenceEngine(model, params, clip_len=36)
@@ -55,6 +56,9 @@ class InferRequest:
     frames: np.ndarray
     text_ids: np.ndarray      # (Lt,) int32
     text_mask: np.ndarray     # (Lt,) int32
+    # DAVIS/YTVOS branch only: >=0 forces that decoder query (cross-chunk-
+    # consistent selection, see cli/infer_ytvos.py); -1 = per-forward argmax
+    query_override: int = -1
 
 
 def pick_bucket(h: int, w: int,
@@ -74,15 +78,21 @@ class ClipInferenceEngine:
                  clip_len: int = 36,
                  buckets: Sequence[Tuple[int, int]] = DEFAULT_BUCKETS,
                  per_device_batch: int = 1,
-                 out_dtype=jnp.float16,
+                 out_dtype=jnp.float32,
                  pipeline_depth: int = 2,
-                 want_ref_points: bool = False):
+                 want_ref_points: bool = False,
+                 max_exact_shapes: int = 4,
+                 want_query_scores: bool = False):
         self.model = model
         self.clip_len = clip_len
         self.buckets = tuple(buckets)
-        # f16 halves the device->host readback (logits are O(10), far inside
-        # f16 range; sigmoid(f16 logit) deviates <1e-3 from f32 — PROFILE.md
-        # round-11).  Pass jnp.float32 for bit-parity with direct forwards.
+        # Default f32 for bit-tight parity with direct forwards (matches the
+        # CLI --readback default; ADVICE r4: f16-by-default silently relaxed
+        # API callers' precision).  Pass jnp.float16 as an explicit serving
+        # opt-in: it halves the device->host readback (logits are O(10), far
+        # inside f16 range; sigmoid(f16 logit) deviates <1e-3 from f32 —
+        # PROFILE.md round-11), at the cost of argmax flips when per-object
+        # scores tie within the f16 quantum (PIPELINE_PARITY.json).
         self.out_dtype = out_dtype
         # in-flight dispatch groups; 1 disables overlap (old behavior)
         self.pipeline_depth = max(1, pipeline_depth)
@@ -90,6 +100,13 @@ class ClipInferenceEngine:
         # x, y) for `--visualize` overlays; exposed as self.last_ref_points
         self.want_ref_points = want_ref_points
         self.last_ref_points: List[Optional[np.ndarray]] = []
+        # also read back per-query (Q, K) valid-frame-mean scores (DAVIS/
+        # YTVOS eval branch) as self.last_query_scores — the tiny wire that
+        # lets a caller re-select ONE query across a video's chunks and force
+        # it via InferRequest.query_override (reference whole-video
+        # semantics, inference_ytvos.py:198-213)
+        self.want_query_scores = want_query_scores
+        self.last_query_scores: List[Optional[np.ndarray]] = []
         if mesh is None:
             mesh = Mesh(np.asarray(jax.devices()), ("data",))
         self.mesh = mesh
@@ -97,6 +114,14 @@ class ClipInferenceEngine:
         # clip per chip raises MXU utilization for small models (throughput
         # numbers in PROFILE.md) at the cost of per-request latency
         self.slots = mesh.devices.size * max(1, per_device_batch)
+        # exact mode (buckets=()) compiles one XLA program per distinct
+        # /64-aligned canvas.  On mixed-aspect-ratio request pools that can
+        # mean many multi-minute TPU compiles (ADVICE r4), so once more than
+        # `max_exact_shapes` distinct canvases have been seen, NEW shapes
+        # fall back to the bounded serving trio (already-compiled exact
+        # canvases keep being used — no recompilation).
+        self.max_exact_shapes = max_exact_shapes
+        self._exact_fallback_warned = False
         self._fns: Dict[Tuple[int, int], object] = {}   # bucket -> jitted fn
         repl = NamedSharding(mesh, P())
         self.params = jax.device_put(params, repl)
@@ -110,7 +135,7 @@ class ClipInferenceEngine:
             repl = NamedSharding(self.mesh, P())
             data = NamedSharding(self.mesh, P("data"))
 
-            def fwd(params, samples, samples_mask, ids, attn, sizes):
+            def fwd(params, samples, samples_mask, ids, attn, sizes, qov):
                 if samples.dtype == jnp.uint8:
                     # compact wire: normalize on device, re-zero the canvas
                     # padding in normalized space (NestedTensor semantics)
@@ -120,17 +145,25 @@ class ClipInferenceEngine:
                     x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
                     samples = jnp.where(samples_mask[..., None], 0.0, x)
                 out = self.model.apply(params, samples, samples_mask, ids,
-                                       attn, sizes, train=False)
+                                       attn, sizes, query_override=qov,
+                                       train=False)
                 # compact readback wire: cast on device, halve the bytes down
-                masks = out["pred_masks"].astype(self.out_dtype)  # (B,T,1|Q,H,W)
+                ret = {"masks": out["pred_masks"].astype(self.out_dtype)}  # (B,T,1|Q,H,W)
                 if self.want_ref_points:
-                    return masks, out["reference_points"]         # (B,T,1,2)
-                return masks
+                    ret["refs"] = out["reference_points"]          # (B,T,1,2)
+                if self.want_query_scores:
+                    ret["scores"] = out["query_scores"]            # (B,Q,K) f32
+                return ret
 
+            out_shardings = {"masks": data}
+            if self.want_ref_points:
+                out_shardings["refs"] = data
+            if self.want_query_scores:
+                out_shardings["scores"] = data
             self._fns[bucket] = jax.jit(
                 fwd,
-                in_shardings=(repl, data, data, data, data, data),
-                out_shardings=(data, data) if self.want_ref_points else data,
+                in_shardings=(repl, data, data, data, data, data, data),
+                out_shardings=out_shardings,
             )
         return self._fns[bucket]
 
@@ -147,6 +180,7 @@ class ClipInferenceEngine:
         attn = np.zeros((self.slots, lt), np.int32)
         attn[:, 0] = 1
         sizes = np.ones((self.slots, 2), np.int32)
+        qov = np.full((self.slots,), -1, np.int32)
         for j, ridx in enumerate(group):
             r = requests[ridx]
             t, h, w = r.frames.shape[:3]
@@ -155,6 +189,7 @@ class ClipInferenceEngine:
             ids[j] = r.text_ids
             attn[j] = r.text_mask
             sizes[j] = (h, w)
+            qov[j] = getattr(r, "query_override", -1)
         fn = self._fn(bucket)
         with self.mesh:
             out = fn(
@@ -164,6 +199,7 @@ class ClipInferenceEngine:
                 jax.device_put(jnp.asarray(ids), self._batch_shard(ids)),
                 jax.device_put(jnp.asarray(attn), self._batch_shard(attn)),
                 jax.device_put(jnp.asarray(sizes), self._batch_shard(sizes)),
+                jax.device_put(jnp.asarray(qov), self._batch_shard(qov)),
             )
         self.n_batches += 1
         return out
@@ -190,6 +226,25 @@ class ClipInferenceEngine:
                     f"request {i} frames dtype {r.frames.dtype} != {wire_dtype}; "
                     "mix of compact-uint8 and normalized-f32 requests in one run()")
 
+        # exact-mode compile guard: would this run push the distinct-canvas
+        # count past max_exact_shapes?  If so, new shapes use the serving trio.
+        exact_over_cap = False
+        if not self.buckets:
+            shapes = {pick_bucket(r.frames.shape[1], r.frames.shape[2], ())
+                      for r in requests}
+            if len(shapes | set(self._fns)) > self.max_exact_shapes:
+                exact_over_cap = True
+                if not self._exact_fallback_warned:
+                    self._exact_fallback_warned = True
+                    import sys
+
+                    print(
+                        f"ClipInferenceEngine: >{self.max_exact_shapes} distinct "
+                        "exact canvases observed — new shapes fall back to the "
+                        "serving bucket trio to bound XLA compiles "
+                        "(pass an explicit buckets list to override)",
+                        file=sys.stderr)
+
         order: Dict[Tuple[int, int], List[int]] = {}
         for i, r in enumerate(requests):
             t = r.frames.shape[0]
@@ -197,7 +252,10 @@ class ClipInferenceEngine:
                 raise ValueError(
                     f"request {i} has {t} frames > clip_len={self.clip_len}")
             h, w = r.frames.shape[1:3]
-            order.setdefault(pick_bucket(h, w, self.buckets), []).append(i)
+            bucket = pick_bucket(h, w, self.buckets)
+            if exact_over_cap and bucket not in self._fns:
+                bucket = pick_bucket(h, w, DEFAULT_BUCKETS)
+            order.setdefault(bucket, []).append(i)
         groups: List[Tuple[Tuple[int, int], List[int]]] = []
         for bucket, idxs in order.items():
             for base in range(0, len(idxs), self.slots):
@@ -205,21 +263,22 @@ class ClipInferenceEngine:
 
         results: List[Optional[np.ndarray]] = [None] * len(requests)
         self.last_ref_points = [None] * len(requests)
+        self.last_query_scores = [None] * len(requests)
         # per-request canvas, so consumers can map canvas-normalized model
         # coordinates (e.g. reference points) onto the unpadded crop
         self.last_canvas: List[Optional[Tuple[int, int]]] = [None] * len(requests)
 
         def drain(group, out):
-            refs = None
-            if self.want_ref_points:
-                out, refs = out
-                refs = np.asarray(refs)
-            out = np.asarray(out)                 # blocks on this group only
+            refs = np.asarray(out["refs"]) if self.want_ref_points else None
+            scores = np.asarray(out["scores"]) if self.want_query_scores else None
+            masks = np.asarray(out["masks"])      # blocks on this group only
             for j, ridx in enumerate(group):
                 t, h, w = requests[ridx].frames.shape[:3]
-                results[ridx] = out[j, :t, 0, :h, :w].astype(np.float32)
+                results[ridx] = masks[j, :t, 0, :h, :w].astype(np.float32)
                 if refs is not None:
                     self.last_ref_points[ridx] = refs[j, :t, 0]   # (t, 2) xy
+                if scores is not None:
+                    self.last_query_scores[ridx] = scores[j]      # (Q, K)
             if progress is not None:
                 progress(len(group))
 

@@ -67,6 +67,12 @@ class OCPG(nn.Module):
         targets: Optional[Dict[str, Array]] = None,  # train: labels/boxes/valid/masks/...
         valid_indices: Optional[Array] = None,       # (B,) annotated frame (a2d/jhmdb)
         *,
+        # (B,) int32: >=0 forces that decoder query in the DAVIS/YTVOS eval
+        # branch (cross-chunk-consistent selection — the reference's
+        # whole-video forward picks ONE query globally, inference_ytvos.py:
+        # 198-213); -1 keeps the per-forward argmax.  Ignored by the other
+        # branches.
+        query_override: Optional[Array] = None,
         train: bool = False,
         deterministic: bool = True,
     ) -> Dict[str, Array]:
@@ -360,7 +366,16 @@ class OCPG(nn.Module):
             frame_ok = 1.0 - samples_mask.reshape(b, t, -1).all(axis=-1).astype(jnp.float32)
             fv = frame_ok[:, :, None, None]                                  # (B,T,1,1)
             mean_scores = (scores * fv).sum(axis=1) / jnp.maximum(fv.sum(axis=1), 1.0)
+            # per-query valid-frame-mean scores + the valid-frame count: a
+            # chunked video's global mean is exactly the frame-count-weighted
+            # mean of its chunk means, so a host can re-select one query
+            # across chunks and force it via query_override
+            out["query_scores"] = mean_scores                                # (B,Q,K)
+            out["query_frames"] = fv.sum(axis=1)[:, 0, 0]                    # (B,)
             best_q = mean_scores.max(axis=-1).argmax(axis=-1)                # (B,)
+            if query_override is not None:
+                best_q = jnp.where(query_override >= 0,
+                                   query_override.astype(best_q.dtype), best_q)
             sel = best_q[:, None, None, None]
             out["pred_logits"] = jnp.take_along_axis(out["pred_logits"], sel, axis=2)
             out["pred_boxes"] = jnp.take_along_axis(

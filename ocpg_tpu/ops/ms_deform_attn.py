@@ -27,6 +27,7 @@ TPU design notes
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Sequence, Tuple
 
@@ -298,6 +299,10 @@ def ms_deform_attn_fast_cm(value, spatial_shapes, x_cm, y_cm, aw_cm,
     if impl.startswith("pallas"):
         from .ms_deform_attn_pallas import ms_deform_attn_pallas_cm
 
+        n, _, m, d = value.shape
+        _, _, _, p, lq = x_cm.shape
+        _record_msda_flops("fwd", msda_pallas_fwd_flops(
+            spatial_shapes, n, m, d, p, lq))
         base, hd, ps, _xk = _parse_pallas_impl(impl)  # xk is backward-only
         return ms_deform_attn_pallas_cm(value, spatial_shapes, x_cm, y_cm, aw_cm,
                                         ryx_mm=(base == "pallas"),
@@ -338,6 +343,10 @@ def _msda_cm_bwd(spatial_shapes, impl, residuals, g):
     if impl.startswith("pallas"):
         from .ms_deform_attn_pallas import ms_deform_attn_pallas_bwd_cm
 
+        n, _, m, d = value.shape
+        _, _, _, p, lq = x_cm.shape
+        _record_msda_flops("bwd", msda_pallas_bwd_flops(
+            spatial_shapes, n, m, d, p, lq))
         base, hd, ps, xk = _parse_pallas_impl(impl)
         return ms_deform_attn_pallas_bwd_cm(
             value, spatial_shapes, x_cm, y_cm, aw_cm, g,
@@ -352,3 +361,80 @@ def _msda_cm_bwd(spatial_shapes, impl, residuals, g):
 
 
 ms_deform_attn_fast_cm.defvjp(_msda_cm_fwd, _msda_cm_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Analytic executed-FLOP accounting for the Pallas custom calls.
+#
+# XLA's cost analysis counts a Pallas custom call as ZERO flops, so any MFU
+# computed from HLO flops understates hardware utilization by exactly the
+# kernels' share of the step (~66% at train shapes, PROFILE.md round-15).
+# The hat-matmul algebra makes the kernels' executed MXU work a closed form
+# in the static shapes; tracing a jitted program under `count_msda_flops()`
+# records it per call, so bench.py can report kernel-inclusive MFU
+# (VERDICT r4 next-step 3).
+#
+# These are EXECUTED-work numbers, not algorithmic-work numbers: the hat rows
+# are structurally sparse (two non-zeros per row) but the MXU multiplies the
+# dense row, and that dense volume is what the hardware spends cycles on.
+# Counting is trace-time and exact here because every MSDA call site is a
+# Python-level loop (encoder/decoder layers unroll — no lax.scan over
+# layers), and remat replays re-trace the forward, so each appended entry
+# corresponds to exactly one kernel execution per step.
+# ---------------------------------------------------------------------------
+
+_MSDA_FLOPS: list | None = None
+
+
+@contextlib.contextmanager
+def count_msda_flops():
+    """Collect analytic (direction, flops) entries for every Pallas MSDA call
+    traced inside the context.  Yields the list; sum the second elements."""
+    global _MSDA_FLOPS
+    prev, _MSDA_FLOPS = _MSDA_FLOPS, []
+    try:
+        yield _MSDA_FLOPS
+    finally:
+        _MSDA_FLOPS = prev
+
+
+def _record_msda_flops(direction: str, flops: float) -> None:
+    if _MSDA_FLOPS is not None:
+        _MSDA_FLOPS.append((direction, flops))
+
+
+def msda_pallas_fwd_flops(spatial_shapes, n, m, d, p, lq, tile_q=512):
+    """Executed MXU+VPU flops of one `ms_deform_attn_pallas_cm` call.
+
+    Per padded query row (qtot rows after tile padding, per NM grid cell),
+    per level l: P x (cx@V' 2*W*D*H + ry@REP 2*H*D*H + a*ryx 2*D*H), then the
+    SEL contraction 2*sumDH*(L*D) once (P-sum precedes SEL in the CM kernel).
+    """
+    from .ms_deform_attn_pallas import _cm_tiling
+
+    _, _, qtot, _, _ = _cm_tiling(lq, tile_q)
+    nl = len(spatial_shapes)
+    sum_dh = sum(d * h for h, _ in spatial_shapes)
+    per_row = 2.0 * sum_dh * (nl * d)
+    for h, w in spatial_shapes:
+        per_row += p * (2.0 * w * d * h + 2.0 * h * d * h + 2.0 * d * h)
+    return float(n * m) * qtot * per_row
+
+
+def msda_pallas_bwd_flops(spatial_shapes, n, m, d, p, lq, tile_q=128):
+    """Executed flops of one `ms_deform_attn_pallas_bwd_cm` call (default
+    variant): per level gxH (2*D*D*H once), then per point the five dots
+    (ryx, a, dV-accumulate, dcx, dry) plus the elementwise da/row-sum work."""
+    from .ms_deform_attn_pallas import _cm_tiling
+
+    _, _, qtot, _, _ = _cm_tiling(lq, tile_q)
+    per_row = 0.0
+    for h, w in spatial_shapes:
+        per_row += 2.0 * d * (d * h)
+        per_row += p * (2.0 * h * d * h      # ryx = ry @ REP
+                        + 2.0 * w * d * h    # a = cx @ V'
+                        + 2.0 * w * d * h    # dV += cx^T @ da
+                        + 2.0 * w * d * h    # dcx = da @ V'^T
+                        + 2.0 * h * d * h    # dry = (gxH*a) @ REP^T
+                        + 6.0 * d * h)       # da, products, row-sums
+    return float(n * m) * qtot * per_row

@@ -54,18 +54,49 @@ def _potts_messages(img_f: np.ndarray, q: np.ndarray, radius: int,
     return g_acc / np.maximum(g_norm, 1e-12), b_acc / np.maximum(b_norm, 1e-12)
 
 
+def _potts_messages_dense(img_f: np.ndarray, q: np.ndarray,
+                          sxy_gaussian: float, sxy_bilateral: float,
+                          srgb_bilateral: float):
+    """EXACT fully-connected counterpart of `_potts_messages` — O(N^2) over
+    all pixel pairs, no window truncation.  The oracle that bounds the
+    radius-limited approximation's error (VERDICT r4 next-step 6): identical
+    kernels, center exclusion, and per-pixel normalization, evaluated against
+    every j != i like the reference's permutohedral lattice conceptually does
+    (pydensecrf addPairwiseGaussian/addPairwiseBilateral, dense_crf.py:26-28).
+    Only viable for small images (<= ~48x48: N^2 = 5.3M pairs)."""
+    k, h, w = q.shape
+    n = h * w
+    yy, xx = np.mgrid[0:h, 0:w]
+    pos = np.stack([yy.ravel(), xx.ravel()], 1).astype(np.float32)
+    col = img_f.reshape(n, -1).astype(np.float32)
+    d2 = ((pos[:, None] - pos[None]) ** 2).sum(-1)              # (N, N)
+    kg = np.exp(-d2 / (2.0 * sxy_gaussian ** 2))
+    c2 = ((col[:, None] - col[None]) ** 2).sum(-1)
+    kb = np.exp(-d2 / (2.0 * sxy_bilateral ** 2) - c2 / (2.0 * srgb_bilateral ** 2))
+    np.fill_diagonal(kg, 0.0)                                   # j != i
+    np.fill_diagonal(kb, 0.0)
+    qf = q.reshape(k, n)
+    g = (qf @ kg) / np.maximum(kg.sum(axis=0), 1e-12)           # kernels are
+    b = (qf @ kb) / np.maximum(kb.sum(axis=0), 1e-12)           # symmetric
+    return g.reshape(k, h, w), b.reshape(k, h, w)
+
+
 def _mean_field(image: np.ndarray, probs: np.ndarray, n_iters: int,
                 radius: int, sxy_gaussian: float, compat_gaussian: float,
                 sxy_bilateral: float, srgb_bilateral: float,
-                compat_bilateral: float) -> np.ndarray:
+                compat_bilateral: float, exact: bool = False) -> np.ndarray:
     probs = probs.clip(1e-5, 1 - 1e-5).astype(np.float32)
     probs = probs / probs.sum(axis=0, keepdims=True)
     unary = -np.log(probs)
     q = probs.copy()
     img_f = image.astype(np.float32)
     for _ in range(n_iters):
-        g_msg, b_msg = _potts_messages(img_f, q, radius, sxy_gaussian,
-                                       sxy_bilateral, srgb_bilateral)
+        if exact:
+            g_msg, b_msg = _potts_messages_dense(
+                img_f, q, sxy_gaussian, sxy_bilateral, srgb_bilateral)
+        else:
+            g_msg, b_msg = _potts_messages(img_f, q, radius, sxy_gaussian,
+                                           sxy_bilateral, srgb_bilateral)
         msg = compat_gaussian * g_msg + compat_bilateral * b_msg
         # Potts compatibility: pay for the mass of every OTHER label
         other = msg.sum(axis=0, keepdims=True) - msg
@@ -80,15 +111,20 @@ def apply_dense_crf(image: np.ndarray, prob: np.ndarray, n_iters: int = 5,
                     radius: int = 5,
                     sxy_gaussian: float = 3.0, compat_gaussian: float = 3.0,
                     sxy_bilateral: float = 50.0, srgb_bilateral: float = 13.0,
-                    compat_bilateral: float = 10.0) -> np.ndarray:
+                    compat_bilateral: float = 10.0,
+                    exact: bool = False) -> np.ndarray:
     """Binary dense CRF (reference apply_dense_crf, dense_crf.py:10-36).
 
     image: (H, W, 3) uint8 RGB; prob: (H, W) foreground probability in [0,1].
     Returns the refined (H, W) foreground probability.
+
+    exact=True evaluates the FULLY-CONNECTED pairwise model (O(N^2), test
+    oracle for small images) instead of the radius-limited window; see
+    tests/test_preprocess.py for the measured window-vs-dense gap.
     """
     q = _mean_field(image, np.stack([1.0 - prob, prob]), n_iters, radius,
                     sxy_gaussian, compat_gaussian, sxy_bilateral,
-                    srgb_bilateral, compat_bilateral)
+                    srgb_bilateral, compat_bilateral, exact=exact)
     return q[1]
 
 

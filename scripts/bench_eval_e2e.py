@@ -110,21 +110,30 @@ def main():
             valid_indices=jnp.zeros(len(host["samples"]), jnp.int32),
             train=False))()
 
-        # pass 1: compile + warm page caches (discarded).  f16 readback —
-        # this bench measures the wire-bound serving configuration; the
-        # metric CLI defaults to the parity-grade f32 wire.
+        # warm passes: compile both configurations (discarded)
         t0 = time.time()
-        evaluate_a2d(model, params, loader, readback="f16")
+        evaluate_a2d(model, params, loader, readback="f16",
+                     postprocess="host")
         warm_s = time.time() - t0
-        print(f"warm pass (incl. compile): {warm_s:.1f}s", flush=True)
-
-        # pass 2: the measured e2e evaluate — decode, transforms, compact
-        # wire, forward, RLE postprocess, metric accumulation
+        print(f"warm host pass (incl. compile): {warm_s:.1f}s", flush=True)
         t0 = time.time()
-        metrics = evaluate_a2d(model, params, loader, readback="f16")
-        e2e_s = time.time() - t0
+        evaluate_a2d(model, params, loader, postprocess="device")
+        print(f"warm device pass (incl. compile): "
+              f"{time.time() - t0:.1f}s", flush=True)
+
         n_clips = len(dataset)
-        e2e_ms = e2e_s / n_clips * 1000
+        # measured pass A — round-4 configuration: host postprocess over the
+        # f16 full-canvas logit wire (the then-best serving knob)
+        t0 = time.time()
+        metrics_host = evaluate_a2d(model, params, loader, readback="f16",
+                                    postprocess="host")
+        e2e_ms = (time.time() - t0) / n_clips * 1000
+        # measured pass B — round-5 default: device-fused postprocess
+        # (crop + traced resize-to-original + threshold + bit-pack; the mask
+        # wire is packed binary at native resolution, VERDICT r4 next-step 8)
+        t0 = time.time()
+        metrics = evaluate_a2d(model, params, loader, postprocess="device")
+        e2e_dev_ms = (time.time() - t0) / n_clips * 1000
 
         # device floor: same jitted forward on one resident batch, async
         # dispatch, block once at the end
@@ -148,11 +157,17 @@ def main():
             "clips": n_clips,
             "shape": f"T={cfg.num_frames} canvas 512x640 bf16 "
                      f"({H}x{W} native mp4)",
-            "e2e_eval_ms_per_clip": round(e2e_ms, 1),
+            "e2e_eval_ms_per_clip_host_f16": round(e2e_ms, 1),
+            "e2e_eval_ms_per_clip_device_post": round(e2e_dev_ms, 1),
             "resident_forward_ms_per_clip": round(resident_ms, 1),
-            "feed_overhead_pct": round((e2e_ms / resident_ms - 1) * 100, 1),
-            "wire_format": "compact (uint8 frames, on-device normalize)",
+            "feed_overhead_pct_host_f16": round((e2e_ms / resident_ms - 1) * 100, 1),
+            "feed_overhead_pct_device_post": round((e2e_dev_ms / resident_ms - 1) * 100, 1),
+            "wire_format": "compact uint8 frames up; device post: packed "
+                           "binary masks at native resolution down "
+                           "(8 px/byte) + f32 logits",
             "metrics_finite": all(np.isfinite(v) for v in metrics.values()),
+            "metrics_host_vs_device_max_abs_delta": max(
+                abs(metrics[k] - metrics_host[k]) for k in metrics),
             "note": "pass-2 wall clock of engine.evaluate.evaluate_a2d over "
                     "the synthetic on-disk A2D tree (mp4 decode + h5 masks + "
                     "RLE postprocess + native-resolution metrics), reference "

@@ -254,17 +254,28 @@ def main():
     state, losses = chained(state, batch, args.iters)
     float(losses[-1])
 
-    # XLA cost-model FLOPs of one unchained step -> train MFU companion
-    # (v5e peak 197 TFLOP/s bf16; HLO flops exclude the MSDA Pallas
-    # custom-call's internal work, so this slightly understates true MFU)
+    # XLA cost-model FLOPs of one unchained step -> train MFU companion.
+    # HLO flops count the MSDA Pallas custom calls as zero, so the analytic
+    # executed-flop counter supplies the kernel-inclusive total; peak FLOP/s
+    # comes from the attached device kind (ocpg_tpu.utils.hw), not a
+    # hard-coded v5e constant (ADVICE r4).
+    # NB: `import ocpg_tpu.ops.ms_deform_attn as X` would bind the
+    # same-named FUNCTION re-exported by the ops package, not the module
+    import importlib
+
+    msda_ops = importlib.import_module("ocpg_tpu.ops.ms_deform_attn")
+
     try:
-        ca = jax.jit(train_step).lower(state, batch).compile().cost_analysis()
+        with msda_ops.count_msda_flops() as msda_entries:
+            lowered = jax.jit(train_step).lower(state, batch)
+        flops_msda = float(sum(fl for _, fl in msda_entries))
+        ca = lowered.compile().cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
         flops_per_step = float(ca.get("flops", 0.0))
     except Exception as e:
         print(f"cost_analysis unavailable: {e!r}", file=sys.stderr)
-        flops_per_step = 0.0
+        flops_per_step = flops_msda = 0.0
 
     def run_once(n_iters):
         nonlocal state, losses
@@ -281,9 +292,16 @@ def main():
         deltas.append((t_long - t_short) / (args.iters - args.iters_short))
     dt = max(sorted(deltas)[len(deltas) // 2], 1e-9)
     fps = args.batch * args.frames / dt
-    mfu = flops_per_step / dt / 197e12 if flops_per_step > 0 else 0.0
+    from ocpg_tpu.utils.hw import tpu_spec
+
+    spec = tpu_spec()
+    peak = spec.peak_flops_bf16
+    mfu = flops_per_step / dt / peak if flops_per_step > 0 else 0.0
+    mfu_incl = (flops_per_step + flops_msda) / dt / peak if flops_per_step > 0 else 0.0
     print(f"train step: {dt*1e3:.1f} ms/step = {fps:.1f} train-frames/sec/chip "
-          f"(MFU {mfu:.3f}, {flops_per_step/1e9:.0f} GFLOP/step; "
+          f"(MFU hlo {mfu:.3f} / incl-pallas {mfu_incl:.3f}, "
+          f"{flops_per_step/1e9:.0f}+{flops_msda/1e9:.0f} GFLOP/step, "
+          f"peak {peak/1e12:.0f} TF {spec.kind}; "
           f"{args.backbone}, {args.batch}x{args.frames}f "
           f"{args.height}x{args.width} bf16), last loss {float(losses[-1]):.3f}")
     if args.json_out:
@@ -295,7 +313,11 @@ def main():
             "step_ms": round(dt * 1e3, 1),
             "train_frames_per_sec_per_chip": round(fps, 2),
             "train_mfu": round(mfu, 4),
+            "train_mfu_incl_custom_calls": round(mfu_incl, 4),
             "gflop_per_step": round(flops_per_step / 1e9, 1),
+            "gflop_per_step_msda": round(flops_msda / 1e9, 1),
+            "assumed_peak_tflops_bf16": round(peak / 1e12, 1),
+            "tpu_kind": spec.kind,
         }
         with open(args.json_out, "a") as f:
             f.write(json.dumps(rec) + "\n")

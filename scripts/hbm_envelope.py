@@ -28,7 +28,17 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-HBM_BYTES = 16 * 1024**3  # v5e
+def _hbm_bytes():
+    """HBM capacity of the attached device (ocpg_tpu.utils.hw) — not a
+    hard-coded v5e constant (ADVICE r4)."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from ocpg_tpu.utils.hw import tpu_spec
+
+    return tpu_spec().hbm_bytes
+
+
 
 
 def analyze_train(backbone, batch, frames, height, width, use_checkpoint):
@@ -104,7 +114,7 @@ def row_from(ma, **kw):
                 for f in ("argument_size_in_bytes", "output_size_in_bytes",
                           "temp_size_in_bytes"))
     rec["total_mib"] = round(total / 1024**2, 1)
-    rec["hbm_frac"] = round(total / HBM_BYTES, 3)
+    rec["hbm_frac"] = round(total / _hbm_bytes(), 3)
     return rec
 
 
@@ -175,7 +185,7 @@ def main():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_path = os.path.join(root, "HBM_ENVELOPE.json")
     artifact = {
-        "hbm_bytes_per_chip": HBM_BYTES,
+        "hbm_bytes_per_chip": _hbm_bytes(),
         "method": "jax.jit(...).lower(...).compile().memory_analysis() — "
                   "XLA's own peak-allocation accounting, AOT (no execution); "
                   "train rows donate the TrainState (in-place param/opt "

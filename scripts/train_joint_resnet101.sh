@@ -6,5 +6,5 @@ python -m ocpg_tpu.cli.train \
   --ytvos_path ${YTVOS_PATH:-/data/refer-youtube-vos} \
   --coco_path ${COCO_PATH:-/data/coco} \
   --refexp_ann_dir ${REFEXP_ANN_DIR:-/data/coco/refexp_anns} \
-  --epochs 10 --num_frames 3 --batch_size 1 \
+  --epochs 10 --num_frames 3 --batch_size ${OCPG_BS:-2} \
   --output_dir output/joint_r101 "$@"

@@ -76,6 +76,10 @@ def main():
     ap.add_argument("--videos", type=int, default=6)
     ap.add_argument("--frames_per_video", type=int, default=16)
     ap.add_argument("--workers", type=int, default=1)
+    ap.add_argument("--keep_params", default=None,
+                    help="also save the FINAL trained params to this orbax "
+                         "dir (persists after the temp ckpt dir is removed "
+                         "— e.g. for trained-weights parity studies)")
     args = ap.parse_args()
 
     import jax
@@ -172,6 +176,12 @@ def main():
         live = [float(v) for v in replay_losses]
         bit_exact = replay == live
         print(f"resume replay bit-exact: {bit_exact}", flush=True)
+
+        if args.keep_params:
+            final_mgr = CheckpointManager(args.keep_params)
+            final_mgr.save(args.steps, state)
+            final_mgr.wait()
+            print(f"final trained state saved to {args.keep_params}", flush=True)
 
         artifact = {
             "backbone": "resnet101",

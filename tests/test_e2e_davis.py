@@ -251,21 +251,10 @@ def _torch_davis_pipeline(replica, tokenizer, root, out_dir, clip_len,
                 img.save(save_dir / f"{frames[fi]}.png")
 
 
-@pytest.mark.slow
-def test_cross_stack_pipeline_parity(davis_tree, tmp_path, monkeypatch):
-    """Same randomized weights, two full product pipelines, one scorer:
-    |J&F_jax - J&F_torch| must be far under the 0.1 BASELINE budget, and the
-    merged label PNGs must agree almost everywhere pixel-wise."""
-    torch = pytest.importorskip("torch")
-    pytest.importorskip("transformers")
+def _build_replica():
     from transformers import RobertaConfig
 
-    from tests.test_golden_parity import _randomize
     from tests.torch_replica import OCPGReplica
-
-    from ocpg_tpu.cli import infer_davis as infer_cli
-    from ocpg_tpu.evaluation.davis_eval import evaluate_davis, global_summary
-    from ocpg_tpu.models.text_encoder import SimpleTokenizer
 
     text_cfg = RobertaConfig(
         vocab_size=TINY_CFG["text_vocab"], hidden_size=TINY_CFG["text_hidden"],
@@ -273,10 +262,21 @@ def test_cross_stack_pipeline_parity(davis_tree, tmp_path, monkeypatch):
         num_attention_heads=TINY_CFG["text_heads"],
         intermediate_size=TINY_CFG["text_ffn"], max_position_embeddings=514,
         type_vocab_size=1, pad_token_id=1, layer_norm_eps=1e-5)
-    replica = OCPGReplica(text_cfg, resnet_layers=(3, 4, 6, 3), enc=1, dec=2,
-                          ffn=64, queries=5).eval()
-    _randomize(replica, seed=11)
-    ckpt = tmp_path / "replica.pth"
+    return OCPGReplica(text_cfg, resnet_layers=(3, 4, 6, 3), enc=1, dec=2,
+                       ffn=64, queries=5).eval()
+
+
+def _parity_legs(replica, davis_tree, tmp_path, monkeypatch, tag):
+    """Run the torch pipeline plus the three JAX legs (exact-f32, exact-f16
+    wire, serving buckets) with `replica`'s weights; returns the measured
+    J&F / delta / pixel-disagreement dict.  No asserts — callers assert."""
+    import torch
+
+    from ocpg_tpu.cli import infer_davis as infer_cli
+    from ocpg_tpu.evaluation.davis_eval import evaluate_davis, global_summary
+    from ocpg_tpu.models.text_encoder import SimpleTokenizer
+
+    ckpt = tmp_path / f"replica_{tag}.pth"
     torch.save({"model": replica.state_dict()}, ckpt)
 
     # 192x256 is the smallest canvas whose 64x level still feeds the LFM's
@@ -285,9 +285,10 @@ def test_cross_stack_pipeline_parity(davis_tree, tmp_path, monkeypatch):
     clip_len, resize, max_size = 3, 192, 256
     tokenizer = SimpleTokenizer(None, vocab_size=TINY_CFG["text_vocab"])
 
-    torch_out = tmp_path / "torch_results"
-    _torch_davis_pipeline(replica, tokenizer, davis_tree, torch_out,
-                          clip_len, resize, max_size)
+    torch_out = tmp_path / f"torch_results_{tag}"
+    with torch.no_grad():
+        _torch_davis_pipeline(replica, tokenizer, davis_tree, torch_out,
+                              clip_len, resize, max_size)
 
     def run_jax(out_dir, buckets, readback="f32"):
         monkeypatch.setattr(sys, "argv", [
@@ -322,93 +323,204 @@ def test_cross_stack_pipeline_parity(davis_tree, tmp_path, monkeypatch):
             jf.append(global_summary(m)["J&F-Mean"])
         return float(np.mean(jf))
 
-    # --- exact-canvas mode: zero padding, the strict cross-stack statement.
-    # The torch pipeline runs each clip at its exact shape (as the reference
-    # does); `--buckets exact --readback f32` makes the engine do the same,
-    # so any residual disagreement is pure numerics.
-    jax_exact = tmp_path / "jax_exact"
+    # exact-canvas f32: the strict cross-stack statement (zero padding, the
+    # torch pipeline runs each clip at its exact shape as the reference does)
+    jax_exact = tmp_path / f"jax_exact_{tag}"
     run_jax(jax_exact, "exact")
-    px_exact = pixel_disagreement(jax_exact / "valid")
-
-    # --- serving wire: the f16 readback knob (--readback f16; the
-    # ClipInferenceEngine API default for serving).  With RANDOM weights the
-    # per-object scores at a pixel differ by less than the f16 quantum
-    # (~1e-3), so the DAVIS multi-object argmax merge flips large regions —
-    # measured ~29% pixel flips, J&F moved 0.03.  This is a degenerate
-    # worst case (a trained model separates objects by orders of magnitude
-    # more than 1e-3); the CLI recipe default is therefore the f32
-    # parity-grade wire, and this leg documents the f16 envelope.
-    jax_f16 = tmp_path / "jax_f16"
+    # f16 readback wire (serving knob)
+    jax_f16 = tmp_path / f"jax_f16_{tag}"
     run_jax(jax_f16, "exact", readback="f16")
-    px_f16 = pixel_disagreement(jax_f16 / "valid")
+    # serving bucket trio: worst-case canvas-padding sensitivity (2.7x pad)
+    jax_bucketed = tmp_path / f"jax_bucketed_{tag}"
+    run_jax(jax_bucketed, "serving")
+
     jf_torch = mean_jf(torch_out)
     jf_exact = mean_jf(jax_exact / "valid")
-    delta_exact = abs(jf_exact - jf_torch)
-
-    # --- default bucketed mode: the throughput configuration.  Canvas
-    # padding (192x256 requests on the 384x640 bucket — 2.7x pad pixels,
-    # far beyond the ~7% of a real 360p run) perturbs GroupNorm statistics
-    # and the LFM FFT spectrum, so label maps flip on near-tie pixels;
-    # random weights make every pixel a near-tie, so this measures the
-    # WORST-case padding sensitivity, not typical accuracy (see PARITY.md).
-    jax_bucketed = tmp_path / "jax_bucketed"
-    run_jax(jax_bucketed, "serving")
-    px_bucketed = pixel_disagreement(jax_bucketed / "valid")
-    jf_bucketed = mean_jf(jax_bucketed / "valid")
-    delta_bucketed = abs(jf_bucketed - jf_torch)
     jf_f16 = mean_jf(jax_f16 / "valid")
-    delta_f16 = abs(jf_f16 - jf_torch)
+    jf_bucketed = mean_jf(jax_bucketed / "valid")
+    m = {
+        "jf_torch": jf_torch,
+        "jf_jax_exact_canvas": jf_exact,
+        "abs_delta_jf_exact": abs(jf_exact - jf_torch),
+        "pixel_disagreement_exact": pixel_disagreement(jax_exact / "valid"),
+        "jf_jax_f16_wire": jf_f16,
+        "abs_delta_jf_f16_wire": abs(jf_f16 - jf_torch),
+        "pixel_disagreement_f16_wire": pixel_disagreement(jax_f16 / "valid"),
+        "jf_jax_bucketed": jf_bucketed,
+        "abs_delta_jf_bucketed": abs(jf_bucketed - jf_torch),
+        "pixel_disagreement_bucketed": pixel_disagreement(jax_bucketed / "valid"),
+    }
+    print(f"pipeline parity [{tag}]: " + " ".join(
+        f"{k}={v:.4f}" for k, v in m.items()))
+    return m
 
-    print(f"pipeline parity: J&F torch={jf_torch:.4f} "
-          f"jax_exact={jf_exact:.4f} (delta {delta_exact:.4f}, "
-          f"px {px_exact:.5f}) | f16 wire delta {delta_f16:.4f}, "
-          f"px {px_f16:.5f} | jax_bucketed={jf_bucketed:.4f} "
-          f"(delta {delta_bucketed:.4f}, px {px_bucketed:.5f})")
+
+def _merge_parity_artifact(update):
+    """OCPG_WRITE_PIPELINE_PARITY: merge this leg's metrics into the shared
+    PIPELINE_PARITY.json artifact (random + trained legs, VERDICT r4 #2)."""
+    import os
+
+    path = os.environ.get("OCPG_WRITE_PIPELINE_PARITY")
+    if not path:
+        return
+    import json as _json
+    from pathlib import Path
+
+    out = Path(path)
+    artifact = _json.loads(out.read_text()) if out.exists() else {}
+    artifact.update(update)
+    artifact["budget"] = 0.1
+    artifact["clips_per_request"] = 3
+    out.write_text(_json.dumps(artifact, indent=1) + "\n")
+
+
+@pytest.mark.slow
+def test_cross_stack_pipeline_parity(davis_tree, tmp_path, monkeypatch):
+    """RANDOM-INIT leg: same randomized weights, two full product pipelines,
+    one scorer: |J&F_jax - J&F_torch| must be far under the 0.1 BASELINE
+    budget, and the merged label PNGs must agree almost everywhere
+    pixel-wise.  Random weights make every per-object score a near-tie, so
+    the f16/bucketed legs here measure the degenerate WORST-case envelope
+    (see the trained-weights test for the realistic operating point)."""
+    pytest.importorskip("torch")
+    pytest.importorskip("transformers")
+
+    from tests.test_golden_parity import _randomize
+
+    replica = _build_replica()
+    _randomize(replica, seed=11)
+    m = _parity_legs(replica, davis_tree, tmp_path, monkeypatch, "random")
+
     # the f16 serving wire on random-weight degenerate ties: J&F must stay
     # well inside the 0.1 budget; the pixel bound is a worst-case envelope
-    assert delta_f16 < 0.05, (jf_torch, jf_f16)
-    assert px_f16 < 0.40, px_f16
+    assert m["abs_delta_jf_f16_wire"] < 0.05
+    assert m["pixel_disagreement_f16_wire"] < 0.40
     # J&F is the product metric: the exact-canvas stacks must agree far
     # inside the 0.1 BASELINE budget.  Pixel-level label flips are the noise
     # floor of fp32-vs-fp32 cross-framework numerics on random-weight
     # near-tie score maps (tensor parity tolerance is 5e-3; measured ~0.6%
     # exact vs ~4% bucketed).
-    assert delta_exact < 0.01, (jf_torch, jf_exact)
-    assert px_exact < 0.015, px_exact
+    assert m["abs_delta_jf_exact"] < 0.01
+    assert m["pixel_disagreement_exact"] < 0.015
     # bucketed: worst-case padding perturbation must still land well inside
     # the 0.1 J&F BASELINE budget
-    assert delta_bucketed < 0.05, (jf_torch, jf_bucketed)
-    assert px_bucketed < 0.08, px_bucketed
+    assert m["abs_delta_jf_bucketed"] < 0.05
+    assert m["pixel_disagreement_bucketed"] < 0.08
 
-    import os
-    if os.environ.get("OCPG_WRITE_PIPELINE_PARITY"):
-        import json as _json
-        from pathlib import Path
-        artifact = {
-            "jf_torch": jf_torch,
-            "jf_jax_exact_canvas": jf_exact,
-            "abs_delta_jf_exact": delta_exact,
-            "pixel_disagreement_exact": px_exact,
-            "jf_jax_f16_wire": jf_f16,
-            "abs_delta_jf_f16_wire_worst_case": delta_f16,
-            "pixel_disagreement_f16_wire_worst_case": px_f16,
-            "jf_jax_bucketed": jf_bucketed,
-            "abs_delta_jf_bucketed_worst_case": delta_bucketed,
-            "pixel_disagreement_bucketed_worst_case": px_bucketed,
-            "budget": 0.1, "clips_per_request": clip_len,
-            "note": "full-pipeline (chunk/best-query/merge/PNG) parity on the "
-                    "synthetic mini-DAVIS tree, randomized converted weights, "
-                    "official _seg2bmap+disk scorer.  'exact' = per-request "
-                    "/64-aligned canvas, f32 readback — the strict "
-                    "cross-stack statement (exact buckets are the RECIPE "
-                    "DEFAULT since round 4); 'f16_wire' = the same canvases "
-                    "through the f16 serving readback (--readback f16) — "
-                    "random weights tie per-object scores within the f16 "
-                    "quantum so the argmax merge flips en masse, a "
-                    "degenerate worst case real checkpoints never approach "
-                    "(which is why the recipe default is the f32 wire); "
-                    "'bucketed' = the --buckets serving trio at 2.7x canvas "
-                    "padding — worst-case padding sensitivity",
-        }
-        out = Path(os.environ["OCPG_WRITE_PIPELINE_PARITY"])
-        out.write_text(_json.dumps(artifact, indent=1) + "\n")
+    _merge_parity_artifact(
+        {k + "_random": v for k, v in m.items()} | {
+            "note_random": "randomized converted weights — per-object scores "
+                           "are degenerate ties, so f16/bucketed legs are the "
+                           "WORST-case envelope (real checkpoints separate "
+                           "scores by orders of magnitude more than the f16 "
+                           "quantum)"})
+
+
+def _train_replica(replica, davis_tree, steps=200, seed=0):
+    """Overfit the torch replica on the mini-DAVIS tree so per-object scores
+    are NON-degenerate (VERDICT r4 next-step 2): each object's expressions
+    supervise one decoder query (masks via BCE at the canvas scale, scores
+    pushed to 1 for the assigned query and 0 for the rest), which makes
+    best-query selection text-conditional and separated — the realistic
+    operating point the random-init leg cannot measure."""
+    import torch
+    import torch.nn.functional as F
+
+    from ocpg_tpu.cli.infer_davis import load_frames, normalize_frames
+    from ocpg_tpu.models.text_encoder import SimpleTokenizer
+
+    resize, max_size = 192, 256
+    tokenizer = SimpleTokenizer(None, vocab_size=TINY_CFG["text_vocab"])
+    img_folder = davis_tree / "valid" / "JPEGImages"
+
+    # pre-build the training set: (samples, ids, attn, target_mask, query)
+    with open(davis_tree / "meta_expressions" / "valid"
+              / "meta_expressions.json") as f:
+        data = json.load(f)["videos"]
+    items = []
+    for video, vdata in data.items():
+        frames = vdata["frames"]
+        exp_list = list(vdata["expressions"].keys())
+        num_obj = len(exp_list) // 4
+        imgs, origin = load_frames(img_folder, video, frames, resize, max_size)
+        imgs = normalize_frames(imgs)
+        t, h, w = imgs.shape[:3]
+        samples = torch.from_numpy(imgs.transpose(0, 3, 1, 2))[None]
+        smask = torch.zeros((1, t, h, w), dtype=torch.bool)
+        sizes = torch.as_tensor([[h, w]], dtype=torch.int32)
+        gt = _gt_masks(video)                      # (T, 48, 64) palette ids
+        for obj in range(num_obj):
+            gt_obj = torch.from_numpy((gt == obj + 1).astype(np.float32))
+            gt_canvas = F.interpolate(gt_obj[None], size=(h, w),
+                                      mode="nearest")[0]      # (T, h, w)
+            for anno in range(4):
+                exp = vdata["expressions"][exp_list[obj * 4 + anno]]["exp"]
+                ids, attn = tokenizer([" ".join(exp.lower().split())])
+                items.append((samples, smask, sizes,
+                              torch.from_numpy(np.asarray(ids, np.int64)),
+                              torch.from_numpy(np.asarray(attn, np.int64)),
+                              gt_canvas, obj))
+
+    opt = torch.optim.Adam(replica.parameters(), lr=2e-4)
+    g = torch.Generator().manual_seed(seed)
+    for step in range(steps):
+        samples, smask, sizes, ids, attn, gt_canvas, q = items[
+            int(torch.randint(len(items), (1,), generator=g))]
+        # forward_a2d refines EVERY query (per-query masks + logits with
+        # grad; the davis forward pre-selects the best query and
+        # forward_train is wrapped in no_grad)
+        out = replica.forward_a2d(samples, smask, ids, attn, sizes, None)
+        pm = out["pred_masks"][0, :, q]            # (T, H, W) logits
+        if pm.shape[-2:] != gt_canvas.shape[-2:]:
+            pm = F.interpolate(pm[None], size=gt_canvas.shape[-2:],
+                               mode="bilinear", align_corners=False)[0]
+        logits = out["pred_logits"][0, :, :, 0]    # (T, Q)
+        target_s = torch.zeros_like(logits)
+        target_s[:, q] = 1.0
+        loss = (F.binary_cross_entropy_with_logits(pm, gt_canvas)
+                + F.binary_cross_entropy_with_logits(logits, target_s))
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+    replica.eval()
+    return float(loss.detach())
+
+
+@pytest.mark.slow
+def test_cross_stack_pipeline_parity_trained(davis_tree, tmp_path, monkeypatch):
+    """TRAINED-WEIGHTS leg (VERDICT r4 next-step 2): overfit the replica on
+    the tree so per-object scores separate by far more than the f16 quantum,
+    then re-measure every leg at this realistic operating point.  Expect the
+    exact delta to stay tiny and the f16/bucketed envelopes to COLLAPSE
+    versus the random-init worst case (the argmax merge no longer flips on
+    quantization-level ties); also requires the trained model to actually
+    segment (J&F well above the ~0.12 random floor), so the deltas are
+    measured where the metric is meaningful."""
+    pytest.importorskip("torch")
+    pytest.importorskip("transformers")
+
+    from tests.test_golden_parity import _randomize
+
+    replica = _build_replica()
+    _randomize(replica, seed=11)
+    _train_replica(replica, davis_tree)
+    m = _parity_legs(replica, davis_tree, tmp_path, monkeypatch, "trained")
+
+    # non-degenerate operating point: the trained model must actually segment
+    assert m["jf_torch"] > 0.35, m["jf_torch"]
+    # BASELINE budget statement with trained weights
+    assert m["abs_delta_jf_exact"] <= 0.1
+    assert m["abs_delta_jf_exact"] < 0.02
+    # realistic f16/bucketed envelopes: separated scores must not flip the
+    # argmax merge en masse anymore
+    assert m["abs_delta_jf_f16_wire"] < 0.02
+    assert m["pixel_disagreement_f16_wire"] < 0.05
+    assert m["abs_delta_jf_bucketed"] < 0.05
+
+    _merge_parity_artifact(
+        {k + "_trained": v for k, v in m.items()} | {
+            "note_trained": "replica overfit on the mini-DAVIS tree (200 "
+                            "Adam steps, per-object query supervision) -> "
+                            "non-degenerate per-object scores; the f16/"
+                            "bucketed envelopes here are the realistic "
+                            "operating point (VERDICT r4 next-step 2)"})

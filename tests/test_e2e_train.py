@@ -115,3 +115,38 @@ def test_train_cli_and_resume(ytvos_train_tree, tmp_path, monkeypatch):
     from ocpg_tpu.engine.checkpoint import CheckpointManager
 
     assert CheckpointManager(str(ckpt_dir)).latest_step() == 2 * steps_per_epoch
+
+
+def test_train_cli_smoke(ytvos_train_tree, tmp_path, monkeypatch):
+    """Fast-suite train-CLI smoke (VERDICT r4 next-step 4): ONE tiny epoch,
+    no resume — drives dataset build -> ClipLoader -> jitted SPMD train step
+    -> JSONL/checkpoint outputs in the default suite.  Uses a 1-decoder-layer
+    T=1 config so the fwd+bwd+AdamW compile stays as small as an 8-device
+    train program gets (~240 s cold-cache on the 1-core host — over the 60 s
+    slow-mark guideline, kept in the default suite deliberately per VERDICT
+    r4 next-step 4; the full resume round-trip remains slow-marked above)."""
+    import sys as _sys
+
+    from ocpg_tpu.cli import train as train_cli
+
+    out_dir = tmp_path / "smoke"
+    cfg = dict(TINY_CFG)
+    cfg["dec_layers"] = 1
+    monkeypatch.setattr(_sys, "argv", [
+        "train", "--dataset_file", "ytvos", "--backbone", "resnet50",
+        "--supervision", "box", "--num_frames", "1", "--batch_size", "1",
+        "--epochs", "1", "--num_workers", "1",
+        "--ytvos_path", str(ytvos_train_tree),
+        "--output_dir", str(out_dir),
+        "--canvas", "64", "80",
+        "--log_every", "1", "--tb_every", "0", "--debug_images_every", "0",
+        "--config_overrides", json.dumps(cfg),
+    ])
+    train_cli.main()
+
+    with open(out_dir / "log.txt") as f:
+        lines = [json.loads(l) for l in f if l.strip()]
+    assert len(lines) == 1 and lines[0]["epoch"] == 0
+    assert np.isfinite(lines[0]["loss"]) and lines[0]["loss"] > 0
+    ckpt_dir = out_dir / "checkpoints"
+    assert ckpt_dir.is_dir() and any(ckpt_dir.iterdir())

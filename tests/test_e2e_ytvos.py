@@ -51,8 +51,11 @@ def ytvos_valid_tree(tmp_path_factory):
     return root
 
 
-@pytest.mark.slow
 def test_infer_ytvos_cli(ytvos_valid_tree, tmp_path, monkeypatch):
+    """Fast-suite CLI smoke (VERDICT r4 next-step 4): ~90 s cold-cache on
+    the 1-core reference host (tiny model).  Over the 60 s slow-mark
+    guideline, kept in the default suite deliberately: driving every CLI by
+    default is the point."""
     from ocpg_tpu.cli import infer_ytvos as cli
 
     out_dir = tmp_path / "ytvos_out"

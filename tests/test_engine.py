@@ -374,3 +374,72 @@ def test_prefetch_to_mesh_order_and_placement():
         assert len(dev["x"].sharding.device_set) == n_dev
         seen.append(int(host["s"]))
     assert seen == list(range(5))
+
+
+def test_evaluate_device_vs_host_postprocess(rng):
+    """The device-fused A2D postprocess (crop -> traced-resize-to-original ->
+    threshold -> bit-pack; VERDICT r4 next-step 8) must agree with the legacy
+    host path: same traced-vs-static resize matrices, same binary masks
+    (modulo pixels whose resized logit is within float-reduction noise of
+    exactly 0), and the same metric dict on a synthetic val pass."""
+    import jax
+    import jax.numpy as jnp
+
+    from ocpg_tpu.config import OCPGConfig
+    from ocpg_tpu.data.synthetic import synthetic_batch
+    from ocpg_tpu.engine.evaluate import (_resize_matrix_traced, evaluate_a2d)
+    from ocpg_tpu.models import build_model
+    from ocpg_tpu.ops.image import _resize_matrix
+
+    # 1) traced resize matrices == the static host matrices, including the
+    # clamped-corner edge accumulation and the valid-region embedding
+    for (src, dst, vs, vd) in ((80, 128, 80, 100), (64, 64, 48, 37),
+                               (96, 192, 50, 192), (64, 128, 64, 128)):
+        got = np.asarray(_resize_matrix_traced(
+            src, dst, jnp.asarray(vs), jnp.asarray(vd)))
+        want = _resize_matrix(vs, vd, "bilinear", False)
+        np.testing.assert_allclose(got[:vd, :vs], want, atol=1e-6)
+        assert np.abs(got[vd:]).max() == 0.0 if vd < dst else True
+        assert np.abs(got[:, vs:]).max() == 0.0 if vs < src else True
+
+    # 2) full loop: device and host postprocess produce the same metrics
+    cfg = OCPGConfig(
+        backbone="resnet50", enc_layers=1, dec_layers=2, dim_feedforward=64,
+        num_queries=5, num_frames=2, compute_dtype="float32",
+        dataset_file="a2d",
+        text_layers=2, text_hidden=128, text_heads=4, text_ffn=256,
+        text_vocab=2048,
+    )
+    model, *_ = build_model(cfg)
+    host = synthetic_batch(rng, batch=2, frames=2, height=64, width=80,
+                           with_valid_indices=True, vocab_size=2048)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(host["samples"]),
+        jnp.asarray(host["samples_mask"]), jnp.asarray(host["text_ids"]),
+        jnp.asarray(host["text_mask"]), jnp.asarray(host["targets"]["size"]),
+        valid_indices=jnp.asarray(host["valid_indices"]), train=False)
+
+    # two samples with different valid/orig sizes to exercise the traced crop
+    host["targets"]["size"] = np.asarray([[64, 80], [56, 72]], np.int32)
+    host["targets"]["orig_size"] = np.asarray([[50, 90], [56, 72]], np.int32)
+    host["valid_indices"] = host["valid_indices"].astype(np.int32)
+    host["real_count"] = 2
+    # dataset contract: orig_size != size requires native-resolution GT masks
+    om = []
+    for oh, ow in host["targets"]["orig_size"]:
+        g = np.zeros((1, oh, ow), np.uint8)
+        g[0, oh // 4: 3 * oh // 4, ow // 4: 3 * ow // 4] = 1
+        om.append(g)
+    host["orig_masks"] = om
+
+    class OneBatchLoader:
+        def epoch(self, _):
+            yield host
+
+    m_host = evaluate_a2d(model, params, OneBatchLoader(),
+                          postprocess="host")
+    m_dev = evaluate_a2d(model, params, OneBatchLoader(),
+                         postprocess="device")
+    assert set(m_host) == set(m_dev)
+    for k in m_host:
+        assert abs(m_host[k] - m_dev[k]) < 1e-6, (k, m_host[k], m_dev[k])

@@ -83,3 +83,59 @@ def test_dense_crf_refines_toward_unary():
     # mean-field sharpens within the uniform color regions
     assert out[:, :14].mean() > 0.8
     assert out[:, 18:].mean() < 0.2
+
+
+def test_dense_crf_window_vs_exact_oracle():
+    """Bound the windowed mean-field's error against an EXACT O(N^2)
+    fully-connected oracle (VERDICT r4 next-step 6; reference
+    pre_process/dense_crf.py:10-36 uses pydensecrf's full-connectivity
+    permutohedral kernels, absent from this image).
+
+    Pins three facts on a small synthetic scene:
+      1. the window evaluated at full radius IS the dense model (same
+         kernels/normalization/update) — float-eps equality;
+      2. at the production defaults (radius=5, n_iters=5) the window and the
+         dense model converge to the SAME fixed point: maxabs <= 0.01 and
+         mask IoU == 1.0 across sigma settings (measured residual ~4e-4;
+         mid-iteration transients can disagree near the decision boundary,
+         so the bound is stated at convergence, with a looser IoU >= 0.9
+         transient bound at n_iters=3);
+      3. an under-sized window (radius=2) measurably deviates — the bound
+         in (2) is not vacuous.
+    """
+    from ocpg_tpu.preprocess.dense_crf import apply_dense_crf
+
+    rng = np.random.default_rng(0)
+    h = w = 32
+    img = np.full((h, w, 3), 40.0) + rng.normal(0, 8, (h, w, 3))
+    img[8:24, 10:26] = 180.0 + rng.normal(0, 8, (16, 16, 3))
+    img = img.clip(0, 255).astype(np.uint8)
+    prob = np.full((h, w), 0.2, np.float32)
+    prob[10:22, 12:24] = 0.8
+    prob = (prob + rng.normal(0, 0.15, (h, w))).clip(0.01, 0.99)
+
+    def iou(a, b):
+        a, b = a > 0.5, b > 0.5
+        return (a & b).sum() / max((a | b).sum(), 1)
+
+    for kw in ({}, {"sxy_gaussian": 2.0, "srgb_bilateral": 8.0}):
+        dense = apply_dense_crf(img, prob, n_iters=5, exact=True, **kw)
+        # (2) production radius at convergence: same fixed point
+        win = apply_dense_crf(img, prob, n_iters=5, radius=5, **kw)
+        assert np.abs(win - dense).max() <= 0.01, kw
+        assert iou(win, dense) == 1.0, kw
+        # transient bound (pre-convergence disagreement is boundary-local)
+        dense3 = apply_dense_crf(img, prob, n_iters=3, exact=True, **kw)
+        win3 = apply_dense_crf(img, prob, n_iters=3, radius=5, **kw)
+        assert iou(win3, dense3) >= 0.9, kw
+
+    # (1) full-radius window == dense, float eps (one setting is enough —
+    # it proves both paths implement the same math)
+    dense = apply_dense_crf(img, prob, n_iters=3, exact=True)
+    full = apply_dense_crf(img, prob, n_iters=3, radius=max(h, w))
+    np.testing.assert_allclose(full, dense, atol=1e-5)
+
+    # (3) the bound is not vacuous: radius=2 visibly truncates
+    dense5 = apply_dense_crf(img, prob, n_iters=5, exact=True)
+    win2 = apply_dense_crf(img, prob, n_iters=5, radius=2)
+    assert np.abs(win2 - dense5).max() > 0.05
