@@ -283,25 +283,20 @@ def _evaluate_a2d_device(model, params, loader, invert_masks=False,
     clips320H — effectively one bucket); predictions/ground truths and the
     metric surface are identical to the host path.
     """
+    import collections
+
     forwards = {}
     predictions: List[Dict] = []
     ground_truths: List[Dict] = []
-    img_counter = 0
-    for batch in loader.epoch(0):
-        real = int(batch.get("real_count", len(batch["samples"])))
-        vi = np.asarray(batch.get("valid_indices",
-                                  np.zeros(len(batch["samples"]), np.int32)))
-        sizes = np.asarray(batch["targets"]["size"])
-        orig_sizes = np.asarray(batch["targets"].get("orig_size", sizes))
-        obh = int(-(-int(orig_sizes[:, 0].max()) // 64) * 64)
-        obw = int(-(-int(orig_sizes[:, 1].max()) // 64) * 64)
-        if (obh, obw) not in forwards:
-            forwards[(obh, obw)] = _device_postprocess_forward(
-                model, params, mesh, (obh, obw))
-        logits, packed = forwards[(obh, obw)](
-            batch["samples"], batch["samples_mask"],
-            batch["text_ids"], batch["text_mask"],
-            batch["targets"]["size"], vi, orig_sizes.astype(np.int32))
+    img_counter = [0]
+    # double-buffered dispatch (as the serving engine): JAX dispatch is
+    # async, so the np.asarray readback of batch i happens only after batch
+    # i+1 has been uploaded and dispatched — loader decode + host RLE work
+    # overlap device compute instead of serializing with it
+    inflight = collections.deque()
+
+    def drain(item):
+        batch, vi, sizes, orig_sizes, real, logits, packed = item
         logits = np.asarray(logits).astype(np.float32)
         packed = np.asarray(packed)                     # (B, Q, OH, OW//8) u8
         scores_all = 1.0 / (1.0 + np.exp(-logits[:, 0, :, 0]))
@@ -313,8 +308,8 @@ def _evaluate_a2d_device(model, params, loader, invert_masks=False,
             binary = bits[:, :oh, :ow].astype(bool)
             if invert_masks:
                 binary = ~binary
-            image_id = f"img_{img_counter}"
-            img_counter += 1
+            image_id = f"img_{img_counter[0]}"
+            img_counter[0] += 1
             for q in range(binary.shape[0]):
                 predictions.append({
                     "image_id": image_id,
@@ -331,6 +326,27 @@ def _evaluate_a2d_device(model, params, loader, invert_masks=False,
                 "image_id": image_id,
                 "rle": rle_encode(gt.astype(np.uint8)),
             })
+
+    for batch in loader.epoch(0):
+        real = int(batch.get("real_count", len(batch["samples"])))
+        vi = np.asarray(batch.get("valid_indices",
+                                  np.zeros(len(batch["samples"]), np.int32)))
+        sizes = np.asarray(batch["targets"]["size"])
+        orig_sizes = np.asarray(batch["targets"].get("orig_size", sizes))
+        obh = int(-(-int(orig_sizes[:, 0].max()) // 64) * 64)
+        obw = int(-(-int(orig_sizes[:, 1].max()) // 64) * 64)
+        if (obh, obw) not in forwards:
+            forwards[(obh, obw)] = _device_postprocess_forward(
+                model, params, mesh, (obh, obw))
+        logits, packed = forwards[(obh, obw)](
+            batch["samples"], batch["samples_mask"],
+            batch["text_ids"], batch["text_mask"],
+            batch["targets"]["size"], vi, orig_sizes.astype(np.int32))
+        inflight.append((batch, vi, sizes, orig_sizes, real, logits, packed))
+        if len(inflight) >= 2:
+            drain(inflight.popleft())
+    while inflight:
+        drain(inflight.popleft())
     return _metrics(predictions, ground_truths)
 
 

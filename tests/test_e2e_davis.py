@@ -416,13 +416,18 @@ def test_cross_stack_pipeline_parity(davis_tree, tmp_path, monkeypatch):
                            "quantum)"})
 
 
-def _train_replica(replica, davis_tree, steps=200, seed=0):
+def _train_replica(replica, davis_tree, max_steps=600, seed=0):
     """Overfit the torch replica on the mini-DAVIS tree so per-object scores
     are NON-degenerate (VERDICT r4 next-step 2): each object's expressions
-    supervise one decoder query (masks via BCE at the canvas scale, scores
-    pushed to 1 for the assigned query and 0 for the rest), which makes
-    best-query selection text-conditional and separated — the realistic
-    operating point the random-init leg cannot measure."""
+    supervise one decoder query — masks via BCE at the canvas scale, scores
+    pushed to 1 for the assigned query and 0 for the rest, and the assigned
+    query's box L1-regressed to the object box (the box path is the
+    strongest query-specific gradient: at init the class logits differ
+    across queries only at 1e-5 because the decoder tgt starts as the
+    SHARED text-sentence feature, reference deformable-decoder
+    init).  Trains until the probe margin separates (correct query's mean
+    score >= 0.55 and >= 0.15 above every other query for both probe
+    expressions) or max_steps.  Returns (steps_run, margin_ok)."""
     import torch
     import torch.nn.functional as F
 
@@ -433,7 +438,6 @@ def _train_replica(replica, davis_tree, steps=200, seed=0):
     tokenizer = SimpleTokenizer(None, vocab_size=TINY_CFG["text_vocab"])
     img_folder = davis_tree / "valid" / "JPEGImages"
 
-    # pre-build the training set: (samples, ids, attn, target_mask, query)
     with open(davis_tree / "meta_expressions" / "valid"
               / "meta_expressions.json") as f:
         data = json.load(f)["videos"]
@@ -453,23 +457,59 @@ def _train_replica(replica, davis_tree, steps=200, seed=0):
             gt_obj = torch.from_numpy((gt == obj + 1).astype(np.float32))
             gt_canvas = F.interpolate(gt_obj[None], size=(h, w),
                                       mode="nearest")[0]      # (T, h, w)
+            # per-frame normalized cxcywh boxes of the object
+            boxes = []
+            for ti in range(gt_canvas.shape[0]):
+                ys, xs = torch.nonzero(gt_canvas[ti], as_tuple=True)
+                y0, y1 = float(ys.min()), float(ys.max()) + 1
+                x0, x1 = float(xs.min()), float(xs.max()) + 1
+                boxes.append([(x0 + x1) / 2 / w, (y0 + y1) / 2 / h,
+                              (x1 - x0) / w, (y1 - y0) / h])
+            gt_boxes = torch.as_tensor(boxes, dtype=torch.float32)
             for anno in range(4):
                 exp = vdata["expressions"][exp_list[obj * 4 + anno]]["exp"]
                 ids, attn = tokenizer([" ".join(exp.lower().split())])
                 items.append((samples, smask, sizes,
                               torch.from_numpy(np.asarray(ids, np.int64)),
                               torch.from_numpy(np.asarray(attn, np.int64)),
-                              gt_canvas, obj))
+                              gt_canvas, gt_boxes, obj))
 
-    opt = torch.optim.Adam(replica.parameters(), lr=2e-4)
+    # probes: one expression per object, first video
+    probe = []
+    vdata0 = next(iter(data.values()))
+    exp_list0 = list(vdata0["expressions"].keys())
+    for obj in range(2):
+        exp = vdata0["expressions"][exp_list0[obj * 4]]["exp"]
+        ids, attn = tokenizer([" ".join(exp.lower().split())])
+        probe.append((torch.from_numpy(np.asarray(ids, np.int64)),
+                      torch.from_numpy(np.asarray(attn, np.int64)), obj))
+
+    # the replica's forwards AND its shared _trunk are @torch.no_grad()
+    # parity oracles; train through the undecorated functions (restored
+    # after training so the parity pipelines run the stock oracle)
+    replica._trunk = type(replica)._trunk.__wrapped__.__get__(replica)
+    fwd_a2d = type(replica).forward_a2d.__wrapped__
+    opt = torch.optim.Adam(replica.parameters(), lr=1e-3)
     g = torch.Generator().manual_seed(seed)
-    for step in range(steps):
-        samples, smask, sizes, ids, attn, gt_canvas, q = items[
+
+    def margins_ok():
+        with torch.no_grad():
+            s0 = items[0]
+            for ids, attn, obj in probe:
+                out = fwd_a2d(replica, s0[0], s0[1], ids, attn, s0[2], None)
+                sc = torch.sigmoid(out["pred_logits"][0, :, :, 0]).mean(0)
+                top = float(sc[obj])
+                rest = float(max(v for q, v in enumerate(sc) if q != obj))
+                if not (top >= 0.55 and top - rest >= 0.15):
+                    return False
+        return True
+
+    steps = 0
+    ok = False
+    for step in range(max_steps):
+        samples, smask, sizes, ids, attn, gt_canvas, gt_boxes, q = items[
             int(torch.randint(len(items), (1,), generator=g))]
-        # forward_a2d refines EVERY query (per-query masks + logits with
-        # grad; the davis forward pre-selects the best query and
-        # forward_train is wrapped in no_grad)
-        out = replica.forward_a2d(samples, smask, ids, attn, sizes, None)
+        out = fwd_a2d(replica, samples, smask, ids, attn, sizes, None)
         pm = out["pred_masks"][0, :, q]            # (T, H, W) logits
         if pm.shape[-2:] != gt_canvas.shape[-2:]:
             pm = F.interpolate(pm[None], size=gt_canvas.shape[-2:],
@@ -478,12 +518,21 @@ def _train_replica(replica, davis_tree, steps=200, seed=0):
         target_s = torch.zeros_like(logits)
         target_s[:, q] = 1.0
         loss = (F.binary_cross_entropy_with_logits(pm, gt_canvas)
-                + F.binary_cross_entropy_with_logits(logits, target_s))
+                + F.binary_cross_entropy_with_logits(logits, target_s)
+                + 2.0 * F.l1_loss(out["pred_boxes"][0, :, q], gt_boxes))
         opt.zero_grad()
         loss.backward()
         opt.step()
+        steps = step + 1
+        if steps % 50 == 0 and steps >= 150:
+            if margins_ok():
+                ok = True
+                break
+    if not ok:
+        ok = margins_ok()
+    del replica.__dict__["_trunk"]
     replica.eval()
-    return float(loss.detach())
+    return steps, ok
 
 
 @pytest.mark.slow
@@ -499,11 +548,15 @@ def test_cross_stack_pipeline_parity_trained(davis_tree, tmp_path, monkeypatch):
     pytest.importorskip("torch")
     pytest.importorskip("transformers")
 
-    from tests.test_golden_parity import _randomize
-
+    # default torch init, NOT test_golden_parity._randomize: the 0.05-
+    # everywhere noise init collapses reference points to the image center
+    # and per-query logit spread to ~1e-5, which makes score separation
+    # untrainable in any reasonable step budget (measured round 5); default
+    # kaiming-scale init spreads per-query logits ~0.1 and 150 Adam steps
+    # fully separate them (assigned query ~0.99, rest ~0.0)
     replica = _build_replica()
-    _randomize(replica, seed=11)
-    _train_replica(replica, davis_tree)
+    steps, separated = _train_replica(replica, davis_tree)
+    assert separated, f"score margins did not separate in {steps} steps"
     m = _parity_legs(replica, davis_tree, tmp_path, monkeypatch, "trained")
 
     # non-degenerate operating point: the trained model must actually segment
@@ -519,8 +572,8 @@ def test_cross_stack_pipeline_parity_trained(davis_tree, tmp_path, monkeypatch):
 
     _merge_parity_artifact(
         {k + "_trained": v for k, v in m.items()} | {
-            "note_trained": "replica overfit on the mini-DAVIS tree (200 "
-                            "Adam steps, per-object query supervision) -> "
+            "note_trained": "replica overfit on the mini-DAVIS tree (Adam, "
+                            "per-object query mask+score+box supervision) -> "
                             "non-degenerate per-object scores; the f16/"
                             "bucketed envelopes here are the realistic "
                             "operating point (VERDICT r4 next-step 2)"})
