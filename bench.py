@@ -357,14 +357,26 @@ def _stage(name, fn):
     """Run one stage, recording its wall time; failures never kill the run.
     `running_stage` marks the in-flight stage so a watchdog/SIGTERM partial
     record shows where time went (round-5 validation: a cold train-step
-    compile overran the budget and the partial record couldn't say why)."""
+    compile overran the budget and the partial record couldn't say why).
+    One budget-gated retry: the tunnel's remote-compile service drops
+    connections transiently (observed round 5: 'response body closed before
+    all bytes were read' killed the swin stage), and a second attempt
+    typically hits the now-warm compile cache."""
     t0 = time.monotonic()
     _RECORD["running_stage"] = name
     try:
-        fn()
-    except Exception as e:
-        print(f"bench: stage {name} failed: {e!r}", file=sys.stderr)
-        _RECORD["skipped"].append(f"{name}:failed")
+        for attempt in (0, 1):
+            try:
+                fn()
+                break
+            except Exception as e:
+                print(f"bench: stage {name} attempt {attempt} failed: {e!r}",
+                      file=sys.stderr)
+                elapsed_stage = time.monotonic() - t0
+                if attempt == 1 or (BUDGET_S - _elapsed()) < elapsed_stage:
+                    _RECORD["skipped"].append(f"{name}:failed")
+                    break
+                print(f"bench: retrying {name} once", file=sys.stderr)
     finally:
         _RECORD["stage_wall_s"][name] = round(time.monotonic() - t0, 1)
         _RECORD["running_stage"] = None
@@ -412,7 +424,12 @@ def main():
     # point) at bs=1 (latency point) and bs=2 (the reference recipe's
     # per-GPU batch, dist_train_a2d_resnet101_boxsup.sh:23).
     if backbone == "resnet101" and bsz == 1 and not os.environ.get("OCPG_BENCH_SKIP_TRAIN"):
-        if _budget_allows("train_bs1", est_s=2.2 * headline_wall + 60):
+        # deliberately aggressive estimate: results merge into the record as
+        # each stage lands and emission is guaranteed (watchdog), so a train
+        # overrun only costs this stage — while skipping it costs the round's
+        # only train row.  Warm-cache train measures in ~2-3 min; the 2.2x
+        # factor only holds for stone-cold compiles.
+        if _budget_allows("train_bs1", est_s=1.2 * headline_wall + 30):
             def train1():
                 r = measure_train()
                 _RECORD["train_step_ms"] = round(r["step_ms"], 1)
