@@ -93,3 +93,44 @@ def test_infer_ytvos_cli(ytvos_valid_tree, tmp_path, monkeypatch):
     # random-weight model predicts ~half the pixels foreground (caught the
     # tokenizer-vocab NaN bug that produced silently-empty masks)
     assert total_fg > 0
+
+
+@pytest.mark.slow
+def test_infer_ytvos_cli_whole_video(ytvos_valid_tree, tmp_path, monkeypatch):
+    """--clip_len 0 (whole-video mode, reference inference_ytvos.py:198
+    semantics: ONE forward per expression, clip_len = longest video in the
+    split) produces the same output contract as chunked mode, and since the
+    per-frame backbone path makes chunked+global-query equivalent to
+    whole-video, the binary masks must MATCH the chunked run's."""
+    from ocpg_tpu.cli import infer_ytvos as cli
+
+    def run(out_dir, clip_len):
+        monkeypatch.setattr(sys, "argv", [
+            "infer_ytvos", "--ytvos_path", str(ytvos_valid_tree),
+            "--output_dir", str(out_dir),
+            "--backbone", "resnet50", "--split", "valid",
+            "--clip_len", str(clip_len),
+            "--resize", "48", "--max_size", "64",
+            "--config_overrides", json.dumps(TINY_CFG),
+        ])
+        cli.main()
+
+    whole_dir = tmp_path / "whole"
+    chunk_dir = tmp_path / "chunk"
+    run(whole_dir, 0)         # whole video: 4 frames in one forward
+    run(chunk_dir, 3)         # 2 chunks + --query_select global (default)
+
+    n_same = n_total = 0
+    for video in VIDEOS:
+        for exp_id in ("0", "1"):
+            for name in FRAMES:
+                w = np.asarray(Image.open(
+                    whole_dir / "Annotations" / video / exp_id / f"{name}.png"))
+                c = np.asarray(Image.open(
+                    chunk_dir / "Annotations" / video / exp_id / f"{name}.png"))
+                assert w.shape == (H, W) and set(np.unique(w)) <= {0, 255}
+                n_same += int((w == c).sum())
+                n_total += w.size
+    # chunked(global)+per-frame backbone == whole-video up to float noise at
+    # threshold boundaries; require near-identical masks
+    assert n_same / n_total > 0.995, n_same / n_total
