@@ -272,3 +272,38 @@ def test_cross_chunk_global_query_consistency(rng, tiny_engine):
     res_other = e.run([InferRequest(chunks[0], ids, attn,
                                     query_override=other)])[0]
     assert not np.allclose(res_other, forced[0], atol=1e-4)
+
+
+def test_exact_mode_compile_guard(rng, tiny_engine):
+    """buckets=() (exact mode) must stop compiling one program per distinct
+    canvas once max_exact_shapes is exceeded: later NEW shapes fall back to
+    the serving trio while already-compiled exact canvases keep being used
+    (ADVICE r4: mixed-aspect pools triggered unbounded multi-minute XLA
+    compiles)."""
+    model, params, engine0 = tiny_engine
+    e = ClipInferenceEngine(model, params, mesh=engine0.mesh, clip_len=1,
+                            buckets=(), max_exact_shapes=2)
+    lt = 8
+    ids = np.full((lt,), 1, np.int32)
+    ids[0] = 0
+    attn = np.ones((lt,), np.int32)
+
+    def req(h, w):
+        return InferRequest(
+            rng.standard_normal((1, h, w, 3)).astype(np.float32), ids, attn)
+
+    # two distinct exact canvases: within the cap, both compile exact
+    out = e.run([req(64, 64), req(64, 128)])
+    assert e.compile_count == 2
+    assert set(e._fns) == {(64, 64), (64, 128)}
+
+    # a third shape pushes past the cap: it lands on a serving-trio bucket,
+    # while the already-compiled exact canvases keep serving their shapes
+    out = e.run([req(64, 64), req(128, 192)])
+    assert (64, 64) in e._fns
+    from ocpg_tpu.engine.infer import DEFAULT_BUCKETS
+
+    new_buckets = set(e._fns) - {(64, 64), (64, 128)}
+    assert new_buckets and new_buckets <= set(DEFAULT_BUCKETS)
+    assert out[0].shape == (1, 64, 64) and out[1].shape == (1, 128, 192)
+    assert all(np.isfinite(o).all() for o in out)
